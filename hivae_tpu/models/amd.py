@@ -1,0 +1,652 @@
+"""AMD top-level models: frequency-decoupled motion autoencoding with a
+rectified-flow DiT decoder.
+
+Capability parity with the reference's model family (reference:
+``model/model_AMD.py``):
+
+  * ``AMDModel``     — dual object/camera encoders + default/dual/spatial DiT
+    (reference ``AMDModel:32-892``).
+  * ``AMDModelNew``  — the current main variant: camera =
+    temporal-cross encoder on low-pass (grayscale) video, object = spatial
+    encoder on RGB, DiT = TempMotion or ImgSpatialTempMotion (reference
+    ``AMDModel_New:1663-2838``).
+
+TPU-first design: the modules expose pure methods (``__call__`` for the
+training forward, ``encode`` for motion extraction, ``velocity`` for a single
+DiT evaluation); Euler sampling is a ``lax.scan`` over the step sequence in
+``sample()`` / ``decode()`` below, so the entire ODE loop compiles to one XLA
+program with donated carry buffers.
+
+Semantics preserved exactly:
+  * integer timesteps sampled ``randint(0, num_steps+1)`` per sample; for
+    non-'default' DiTs, per *clip* and repeated over frames
+    (reference ``:1960-1964``);
+  * the forward's band cutoffs are (0.6 low, 0.5 high); sample/encode use
+    (0.6, 0.6) (reference ``:1882-1886`` vs ``:2042-2046``);
+  * mask-ratio jitter happens at trace time (static shapes under jit) —
+    pass a pre-jittered ratio per step from the trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import frequency
+from ..ops import rectified_flow as rf
+from ..ops.regularizers import diagonal_gaussian_regularize
+from .dit import (VelocityDiT, VelocityDiTDualStream, VelocityDiTImgSpatial,
+                  VelocityDiTImgSpatialTempMotion, VelocityDiTTempMotion)
+from .motion_encoders import (MotionEncoderSpatial,
+                              MotionEncoderSpatialTemporal,
+                              MotionEncoderTemporalCross,
+                              MotionSequenceTransformer)
+
+Dtype = Any
+
+
+def l2(pre: jax.Array, gt: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.square(pre.astype(jnp.float32) -
+                               gt.astype(jnp.float32)))
+
+
+def l1(pre: jax.Array, gt: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(pre.astype(jnp.float32) - gt.astype(jnp.float32)))
+
+
+@dataclasses.dataclass(frozen=True)
+class AMDConfig:
+    """Typed mirror of the reference's ``@register_to_config`` kwargs, so the
+    reference's ``config.json`` files reload unchanged (``utils/config_io``)."""
+
+    image_inchannel: int = 4
+    image_height: int = 32
+    image_width: int = 32
+    video_frames: int = 16
+    scheduler_num_step: int = 1000
+    use_filter: bool = False
+    filter_num: float = 0.4
+    high_filter_num: float = 0.6
+    use_grey: bool = False
+    use_camera_down: bool = False
+    use_regularizers: bool = False
+    use_motiontemporal: bool = True
+    klloss_weight: float = 0.005
+    use_mask: bool = False
+    motion_type: str = "plus"
+    use_camera: bool = True
+    use_object: bool = True
+    # object motion encoder
+    object_motion_token_num: int = 12
+    object_motion_token_channel: int = 128
+    object_enc_num_layers: int = 8
+    enc_nhead: int = 8
+    enc_ndim: int = 64
+    motion_need_norm_out: bool = False
+    # camera motion encoder
+    camera_motion_token_num: int = 12
+    camera_motion_token_channel: int = 128
+    camera_enc_num_layers: int = 8
+    # motion transformer
+    motion_token_num: int = 12
+    motion_token_channel: int = 128
+    need_motion_transformer: bool = False
+    motion_transformer_attn_head_dim: int = 64
+    motion_transformer_attn_num_heads: int = 16
+    motion_transformer_num_layers: int = 4
+    # diffusion transformer
+    diffusion_model_type: str = "default"
+    diffusion_attn_head_dim: int = 64
+    diffusion_attn_num_heads: int = 16
+    diffusion_out_channels: int = 4
+    diffusion_num_layers: int = 16
+    image_patch_size: int = 2
+    motion_patch_size: int = 1
+    extract_motion_with_motion_transformer: bool = False
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "AMDConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> "AMDConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _band_split(x_nthw: jax.Array, d_low: float, d_high: float):
+    """(N,T,C,H,W) -> (low(d_low), high(d_high)) band videos, NCTHW fft."""
+    x = x_nthw.transpose(0, 2, 1, 3, 4)  # n c t h w
+    low, _ = frequency.freq_3d_split(x, d_low, d_low)
+    _, high = frequency.freq_3d_split(x, d_high, d_high)
+    return low.transpose(0, 2, 1, 3, 4), high.transpose(0, 2, 1, 3, 4)
+
+
+class CameraDown(nn.Module):
+    """Strided conv + maxpool camera downsampler (reference
+    ``model_AMD.py:195-200``): 32x32 -> 8x8."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, C, H, W)
+        x = x.transpose(0, 2, 3, 1)
+        x = nn.Conv(16, (3, 3), strides=2, padding=1, name="conv1",
+                    dtype=self.dtype)(x)
+        x = nn.Conv(4, (3, 3), strides=1, padding=1, name="conv2",
+                    dtype=self.dtype)(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x.transpose(0, 3, 1, 2)
+
+
+class AMDModelNew(nn.Module):
+    """Decoupled-motion video model (reference ``AMDModel_New``)."""
+
+    cfg: AMDConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        if c.use_camera:
+            cam_h = c.image_height // 4 if c.use_camera_down else c.image_height
+            cam_w = c.image_width // 4 if c.use_camera_down else c.image_width
+            self.camera_motion_encoder = MotionEncoderTemporalCross(
+                img_height=cam_h, img_width=cam_w,
+                img_inchannel=c.image_inchannel,
+                img_patch_size=c.image_patch_size,
+                motion_token_num=c.camera_motion_token_num,
+                motion_channel=c.camera_motion_token_channel,
+                need_norm_out=c.motion_need_norm_out,
+                video_frames=c.video_frames,
+                heads=c.enc_nhead, head_dim=c.enc_ndim,
+                num_layers=c.camera_enc_num_layers, dtype=self.dtype)
+        if c.use_object:
+            self.object_motion_encoder = MotionEncoderSpatial(
+                img_height=c.image_height, img_width=c.image_width,
+                img_inchannel=c.image_inchannel,
+                img_patch_size=c.image_patch_size,
+                motion_token_num=c.object_motion_token_num,
+                motion_channel=c.object_motion_token_channel,
+                need_norm_out=c.motion_need_norm_out,
+                heads=c.enc_nhead, head_dim=c.enc_ndim,
+                num_layers=c.object_enc_num_layers, dtype=self.dtype)
+        if c.use_camera_down:
+            self.camera_down = CameraDown(dtype=self.dtype)
+        if c.need_motion_transformer:
+            self.motion_transformer = MotionSequenceTransformer(
+                motion_token_num=c.motion_token_num,
+                motion_token_channel=c.motion_token_channel,
+                heads=c.motion_transformer_attn_num_heads,
+                head_dim=c.motion_transformer_attn_head_dim,
+                num_layers=c.motion_transformer_num_layers, dtype=self.dtype)
+
+        dit_kw = dict(heads=c.diffusion_attn_num_heads,
+                      head_dim=c.diffusion_attn_head_dim,
+                      out_channels=c.diffusion_out_channels,
+                      num_layers=c.diffusion_num_layers,
+                      image_height=c.image_height, image_width=c.image_width,
+                      image_patch_size=c.image_patch_size,
+                      image_in_channels=c.image_inchannel * 2,
+                      motion_token_num=c.motion_token_num,
+                      motion_target_num_frame=c.video_frames,
+                      dtype=self.dtype)
+        if c.diffusion_model_type == "default":
+            self.diffusion_transformer = VelocityDiTTempMotion(
+                object_motion_in_channels=c.object_motion_token_channel,
+                **dit_kw)
+        elif c.diffusion_model_type == "spatial":
+            self.diffusion_transformer = VelocityDiTImgSpatialTempMotion(
+                use_camera=c.use_camera, use_object=c.use_object,
+                camera_motion_in_channels=c.camera_motion_token_channel,
+                object_motion_in_channels=c.object_motion_token_channel,
+                **dit_kw)
+        else:
+            raise ValueError(c.diffusion_model_type)
+
+    # ----- motion extraction -------------------------------------------------
+
+    def encode(self, video, ref_img, video_grey=None, ref_img_grey=None,
+               camera_mask_ratio=None, object_mask_ratio=None,
+               low_cut: float = 0.6, high_cut: float = 0.6):
+        """-> (camera_target, object_source, object_target) as in the
+        reference ``encode`` (``model_AMD.py:2379-2462``)."""
+        c = self.cfg
+        n, t = video.shape[:2]
+        refimg_and_video = jnp.concatenate([ref_img, video], axis=1)
+
+        camera_target = object_source = object_target = None
+        if c.use_filter:
+            grey = (jnp.concatenate([ref_img_grey, video_grey], axis=1)
+                    if c.use_grey else refimg_and_video)
+            lf, _ = _band_split(grey, low_cut, high_cut)
+            lf_video = lf[:, t:]
+        else:
+            lf_video = (jnp.concatenate([ref_img_grey, video_grey], axis=1)[:, t:]
+                        if c.use_grey else video)
+
+        if c.use_camera:
+            if c.use_camera_down:
+                b = lf_video.reshape((n * t,) + lf_video.shape[2:])
+                b = self.camera_down(b)
+                lf_video = b.reshape((n, t) + b.shape[1:])
+            camera_target = self.camera_motion_encoder(lf_video,
+                                                       camera_mask_ratio)
+        if c.use_object:
+            object_motion = self.object_motion_encoder(refimg_and_video,
+                                                       object_mask_ratio)
+            object_source = object_motion[:, :t].reshape(
+                (n * t,) + object_motion.shape[2:])
+            object_target = object_motion[:, t:].reshape(
+                (n * t,) + object_motion.shape[2:])
+        return camera_target, object_source, object_target
+
+    def extract_motion(self, video):
+        """Object-motion tokens for downstream (A2M) heads: (N,T,L,D)."""
+        motion = self.object_motion_encoder(video)
+        if (self.cfg.need_motion_transformer and
+                self.cfg.extract_motion_with_motion_transformer):
+            motion = self.motion_transformer(motion)
+        return motion
+
+    # ----- DiT velocity -------------------------------------------------------
+
+    def velocity(self, image_hidden_states, timestep, camera_target=None,
+                 object_source=None, object_target=None):
+        c = self.cfg
+        if c.diffusion_model_type == "default":
+            # TempMotion DiT has no camera stream (reference transformer.py:1631)
+            return self.diffusion_transformer(
+                image_hidden_states, timestep,
+                object_motion_source=object_source,
+                object_motion_target=object_target)
+        if c.use_object and not c.use_camera:
+            return self.diffusion_transformer(
+                image_hidden_states, timestep,
+                object_motion_source=object_source,
+                object_motion_target=object_target)
+        if c.use_camera and not c.use_object:
+            return self.diffusion_transformer(
+                image_hidden_states, timestep,
+                camera_motion_target=camera_target)
+        return self.diffusion_transformer(
+            image_hidden_states, timestep,
+            camera_motion_target=camera_target,
+            object_motion_source=object_source,
+            object_motion_target=object_target)
+
+    # ----- training forward ---------------------------------------------------
+
+    def __call__(self, video, ref_img, video_grey=None, ref_img_grey=None,
+                 time_step=None, camera_mask_ratio=None,
+                 object_mask_ratio=None):
+        """Training step core (reference ``AMDModel_New.forward:1844-2017``).
+
+        Needs rngs: 'noise' (timesteps + flow noise), 'mask' if masking.
+        Returns (pre, vel, loss_dict).
+        """
+        c = self.cfg
+        n, t = video.shape[:2]
+        camera_target, object_source, object_target = self.encode(
+            video, ref_img, video_grey, ref_img_grey,
+            camera_mask_ratio, object_mask_ratio, low_cut=0.6, high_cut=0.5)
+
+        zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+        zj = video.reshape((n * t,) + video.shape[2:])
+
+        key = self.make_rng("noise")
+        kt, kz = jax.random.split(key)
+        if time_step is None:
+            if c.diffusion_model_type != "default":
+                time_step = jax.random.randint(kt, (n,), 0, c.scheduler_num_step + 1)
+                time_step = jnp.repeat(time_step, t)
+            else:
+                time_step = jax.random.randint(kt, (n * t,), 0,
+                                               c.scheduler_num_step + 1)
+        z0 = jax.random.normal(kz, zj.shape, zj.dtype)
+        zt, vel = rf.get_train_tuple(zj, time_step, z0,
+                                     num_steps=c.scheduler_num_step)
+
+        image_hidden = jnp.concatenate([zi, zt], axis=1)
+        pre = self.velocity(image_hidden, time_step.astype(jnp.float32),
+                            camera_target, object_source, object_target)
+
+        diff_loss = l2(pre, vel)
+        rec_zj = rf.get_target_with_zt_vel(zt, pre, time_step,
+                                           num_steps=c.scheduler_num_step)
+        rec_loss = l2(rec_zj, zj)
+        loss_dict = {"loss": diff_loss, "diff_loss": diff_loss,
+                     "rec_loss": rec_loss}
+        return pre, vel, loss_dict
+
+
+class AMDModel(nn.Module):
+    """Original dual-encoder AMD model (reference ``AMDModel:32-892``)."""
+
+    cfg: AMDConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        enc_kw = dict(img_inchannel=c.image_inchannel,
+                      img_patch_size=c.image_patch_size,
+                      need_norm_out=c.motion_need_norm_out,
+                      heads=c.enc_nhead, head_dim=c.enc_ndim,
+                      dtype=self.dtype)
+        if c.use_motiontemporal:
+            self.object_motion_encoder = MotionEncoderSpatialTemporal(
+                img_height=c.image_height, img_width=c.image_width,
+                motion_token_num=c.object_motion_token_num,
+                motion_channel=c.object_motion_token_channel,
+                video_frames=c.video_frames,
+                num_layers=c.object_enc_num_layers, **enc_kw)
+            self.camera_motion_encoder = MotionEncoderSpatialTemporal(
+                img_height=c.image_height, img_width=c.image_width,
+                motion_token_num=c.camera_motion_token_num,
+                motion_channel=c.camera_motion_token_channel,
+                video_frames=c.video_frames,
+                num_layers=c.camera_enc_num_layers, **enc_kw)
+        else:
+            self.object_motion_encoder = MotionEncoderSpatial(
+                img_height=c.image_height, img_width=c.image_width,
+                motion_token_num=c.object_motion_token_num,
+                motion_channel=c.object_motion_token_channel,
+                num_layers=c.object_enc_num_layers, **enc_kw)
+            self.camera_motion_encoder = MotionEncoderSpatial(
+                img_height=c.image_height // 4, img_width=c.image_width // 4,
+                motion_token_num=c.camera_motion_token_num,
+                motion_channel=c.camera_motion_token_channel,
+                num_layers=c.camera_enc_num_layers, **enc_kw)
+        if c.use_camera_down:
+            self.camera_down = CameraDown(dtype=self.dtype)
+
+        if c.use_regularizers:
+            self.camera_target_motion_map = nn.Dense(
+                c.motion_token_channel, name="camera_target_motion_map",
+                dtype=self.dtype)
+            self.camera_source_motion_map = nn.Dense(
+                c.motion_token_channel, name="camera_source_motion_map",
+                dtype=self.dtype)
+            self.object_target_motion_map = nn.Dense(
+                c.motion_token_channel, name="object_target_motion_map",
+                dtype=self.dtype)
+            self.object_source_motion_map = nn.Dense(
+                c.motion_token_channel, name="object_source_motion_map",
+                dtype=self.dtype)
+        else:
+            if c.camera_motion_token_channel != c.motion_token_channel:
+                self.camera_motion_map = nn.Dense(
+                    c.motion_token_channel, name="camera_motion_map",
+                    dtype=self.dtype)
+            if c.object_motion_token_channel != c.motion_token_channel:
+                self.object_motion_map = nn.Dense(
+                    c.motion_token_channel, name="object_motion_map",
+                    dtype=self.dtype)
+
+        if c.need_motion_transformer:
+            self.motion_transformer = MotionSequenceTransformer(
+                motion_token_num=c.motion_token_num,
+                motion_token_channel=c.motion_token_channel,
+                heads=c.motion_transformer_attn_num_heads,
+                head_dim=c.motion_transformer_attn_head_dim,
+                num_layers=c.motion_transformer_num_layers, dtype=self.dtype)
+
+        dit_kw = dict(heads=c.diffusion_attn_num_heads,
+                      head_dim=c.diffusion_attn_head_dim,
+                      out_channels=c.diffusion_out_channels,
+                      num_layers=c.diffusion_num_layers,
+                      image_height=c.image_height, image_width=c.image_width,
+                      image_patch_size=c.image_patch_size,
+                      image_in_channels=c.image_inchannel * 2,
+                      motion_token_num=c.motion_token_num,
+                      motion_in_channels=c.motion_token_channel,
+                      dtype=self.dtype)
+        if c.diffusion_model_type == "default":
+            self.diffusion_transformer = VelocityDiT(
+                motion_type=c.motion_type, **dit_kw)
+        elif c.diffusion_model_type == "dual":
+            self.diffusion_transformer = VelocityDiTDualStream(
+                motion_target_num_frame=c.video_frames, **dit_kw)
+        elif c.diffusion_model_type == "spatial":
+            self.diffusion_transformer = VelocityDiTImgSpatial(
+                motion_type=c.motion_type,
+                motion_target_num_frame=c.video_frames, **dit_kw)
+        else:
+            raise ValueError(c.diffusion_model_type)
+
+    def encode(self, video, ref_img, video_grey=None, ref_img_grey=None,
+               mask_ratio=None):
+        """-> dict with camera/object source/target motions (+ kl_loss)."""
+        c = self.cfg
+        n, t = video.shape[:2]
+        refimg_and_video = jnp.concatenate([ref_img, video], axis=1)
+
+        if c.use_filter:
+            src = (jnp.concatenate([ref_img_grey, video_grey], axis=1)
+                   if c.use_grey else refimg_and_video)
+            lf, _ = _band_split(src, c.filter_num, c.filter_num)
+            _, hf = _band_split(src, c.high_filter_num, c.high_filter_num)
+            if c.use_camera_down:
+                b = lf.reshape((n * 2 * t,) + lf.shape[2:])
+                b = self.camera_down(b)
+                lf = b.reshape((n, 2 * t) + b.shape[1:])
+            object_motion = self.object_motion_encoder(hf, mask_ratio)
+            camera_motion = self.camera_motion_encoder(lf, mask_ratio)
+        else:
+            cam_in = refimg_and_video
+            if c.use_camera_down:
+                b = cam_in.reshape((n * 2 * t,) + cam_in.shape[2:])
+                b = self.camera_down(b)
+                cam_in = b.reshape((n, 2 * t) + b.shape[1:])
+            object_motion = self.object_motion_encoder(refimg_and_video,
+                                                       mask_ratio)
+            camera_motion = self.camera_motion_encoder(cam_in, mask_ratio)
+
+        def flat(m):
+            return m.reshape((n * t,) + m.shape[2:])
+
+        object_source, object_target = flat(object_motion[:, :t]), flat(object_motion[:, t:])
+        camera_source, camera_target = flat(camera_motion[:, :t]), flat(camera_motion[:, t:])
+
+        kl_loss = None
+        if c.use_regularizers:
+            ko, kc = jax.random.split(self.make_rng("noise_kl"))
+            object_target, kl_o = diagonal_gaussian_regularize(
+                object_target.transpose(0, 2, 1), ko)
+            camera_target, kl_c = diagonal_gaussian_regularize(
+                camera_target.transpose(0, 2, 1), kc)
+            object_target = object_target.transpose(0, 2, 1)
+            camera_target = camera_target.transpose(0, 2, 1)
+            kl_loss = (kl_o + kl_c) / 2
+            camera_source = self.camera_source_motion_map(camera_source)
+            camera_target = self.camera_target_motion_map(camera_target)
+            object_source = self.object_source_motion_map(object_source)
+            object_target = self.object_target_motion_map(object_target)
+        else:
+            if c.camera_motion_token_channel != c.motion_token_channel:
+                camera_source = self.camera_motion_map(camera_source)
+                camera_target = self.camera_motion_map(camera_target)
+            if c.object_motion_token_channel != c.motion_token_channel:
+                object_source = self.object_motion_map(object_source)
+                object_target = self.object_motion_map(object_target)
+
+        return dict(camera_source=camera_source, camera_target=camera_target,
+                    object_source=object_source, object_target=object_target,
+                    kl_loss=kl_loss)
+
+    def extract_motion(self, video):
+        motion = self.object_motion_encoder(video)
+        if (self.cfg.need_motion_transformer and
+                self.cfg.extract_motion_with_motion_transformer):
+            motion = self.motion_transformer(motion)
+        return motion
+
+    def velocity(self, image_hidden_states, timestep, camera_source=None,
+                 camera_target=None, object_source=None, object_target=None,
+                 **_):
+        if self.cfg.diffusion_model_type == "dual":
+            return self.diffusion_transformer(
+                camera_source + object_source, camera_target + object_target,
+                image_hidden_states, timestep)
+        return self.diffusion_transformer(
+            camera_target, image_hidden_states, timestep,
+            camera_motion_source=camera_source,
+            object_motion_source=object_source,
+            object_motion_target=object_target)
+
+    def __call__(self, video, ref_img, video_grey=None, ref_img_grey=None,
+                 time_step=None, mask_ratio=None):
+        c = self.cfg
+        n, t = video.shape[:2]
+        motions = self.encode(video, ref_img, video_grey, ref_img_grey,
+                              mask_ratio)
+
+        zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+        zj = video.reshape((n * t,) + video.shape[2:])
+
+        kt, kz = jax.random.split(self.make_rng("noise"))
+        if time_step is None:
+            if c.diffusion_model_type != "default":
+                time_step = jax.random.randint(kt, (n,), 0,
+                                               c.scheduler_num_step + 1)
+                time_step = jnp.repeat(time_step, t)
+            else:
+                time_step = jax.random.randint(kt, (n * t,), 0,
+                                               c.scheduler_num_step + 1)
+        z0 = jax.random.normal(kz, zj.shape, zj.dtype)
+        zt, vel = rf.get_train_tuple(zj, time_step, z0,
+                                     num_steps=c.scheduler_num_step)
+
+        image_hidden = jnp.concatenate([zi, zt], axis=1)
+        pre = self.velocity(image_hidden, time_step.astype(jnp.float32),
+                            **{k: v for k, v in motions.items()
+                               if k != "kl_loss"})
+
+        diff_loss = l2(pre, vel)
+        rec_zj = rf.get_target_with_zt_vel(zt, pre, time_step,
+                                           num_steps=c.scheduler_num_step)
+        rec_loss = l2(rec_zj, zj)
+        if c.use_regularizers:
+            klloss = c.klloss_weight * motions["kl_loss"]
+            loss_dict = {"loss": diff_loss + klloss, "diff_loss": diff_loss,
+                         "rec_loss": rec_loss, "KLloss": klloss}
+        else:
+            loss_dict = {"loss": diff_loss, "diff_loss": diff_loss,
+                         "rec_loss": rec_loss}
+        return pre, vel, loss_dict
+
+
+# -----------------------------------------------------------------------------
+# Pure sampling drivers (lax.scan Euler loops over bound params)
+# -----------------------------------------------------------------------------
+
+
+def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
+           video_grey=None, ref_img_grey=None, sample_step: int = 50,
+           start_step: Optional[int] = None, camera_mask_ratio=None,
+           object_mask_ratio=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Video reconstruction: extract motion from ``video`` then Euler-decode
+    from noise (reference ``AMDModel_New.sample:2020-2195``).
+
+    Returns (zi, sample, zj) each (N, T, C, H, W).
+    """
+    cfg: AMDConfig = model.cfg
+    n, t = video.shape[:2]
+    num_steps = cfg.scheduler_num_step
+    start = num_steps if start_step is None else start_step
+
+    kenc, knoise = jax.random.split(key)
+    enc_kw = {}
+    if isinstance(model, AMDModelNew):
+        camera_target, object_source, object_target = model.apply(
+            params, video, ref_img, video_grey, ref_img_grey,
+            camera_mask_ratio, object_mask_ratio,
+            method="encode", rngs={"mask": kenc})
+        motions = dict(camera_target=camera_target,
+                       object_source=object_source,
+                       object_target=object_target)
+    else:
+        motions = model.apply(params, video, ref_img, video_grey,
+                              ref_img_grey, camera_mask_ratio,
+                              method="encode",
+                              rngs={"mask": kenc, "noise_kl": kenc})
+        motions.pop("kl_loss", None)
+
+    zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+    zj = video.reshape((n * t,) + video.shape[2:])
+    z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+
+    unflat = lambda x: x.reshape((n, t) + x.shape[1:])
+    return unflat(zi), unflat(zt), unflat(zj)
+
+
+def decode(model: nn.Module, params, key: jax.Array, ref_img,
+           motions: Dict[str, jax.Array], frames: int,
+           sample_step: int = 50, start_step: Optional[int] = None):
+    """Decode video latents from a reference frame + motion tokens
+    (reference ``AMDModel_New.decode:2464-2536``). ref_img: (N,T,C,H,W)."""
+    cfg: AMDConfig = model.cfg
+    n, t = ref_img.shape[:2]
+    start = cfg.scheduler_num_step if start_step is None else start_step
+    zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+    z0 = jax.random.normal(key, zi.shape, zi.dtype)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    return zt.reshape((n, t) + zt.shape[1:])
+
+
+def _euler_decode(model, params, zi, z0, motions, sample_step, start_step):
+    step_seq = rf.sample_step_sequence(sample_step, start_step)
+
+    def vel_fn(zt, tstep):
+        image_hidden = jnp.concatenate([zi, zt], axis=1)
+        return model.apply(params, image_hidden, tstep, method="velocity",
+                           **motions)
+
+    return rf.euler_sample(vel_fn, z0, step_seq)
+
+
+# -----------------------------------------------------------------------------
+# Factories (reference model_AMD.py:3127-3211)
+# -----------------------------------------------------------------------------
+
+
+def _cfg(**kw) -> AMDConfig:
+    return AMDConfig(**kw)
+
+
+def AMD_S(dtype=jnp.float32, **kw) -> AMDModel:
+    return AMDModel(cfg=_cfg(enc_nhead=8, enc_ndim=64,
+                             diffusion_attn_head_dim=64,
+                             diffusion_attn_num_heads=16,
+                             diffusion_out_channels=4,
+                             diffusion_num_layers=12, **kw), dtype=dtype)
+
+
+def AMD_N(dtype=jnp.float32, **kw) -> AMDModelNew:
+    return AMDModelNew(cfg=_cfg(enc_nhead=8, enc_ndim=64,
+                                diffusion_attn_head_dim=64,
+                                diffusion_attn_num_heads=16,
+                                diffusion_out_channels=4,
+                                diffusion_num_layers=12, **kw), dtype=dtype)
+
+
+def AMD_L(dtype=jnp.float32, **kw) -> AMDModel:
+    return AMDModel(cfg=_cfg(enc_nhead=16, enc_ndim=64,
+                             diffusion_attn_head_dim=96,
+                             diffusion_attn_num_heads=16,
+                             diffusion_out_channels=4,
+                             diffusion_num_layers=16, **kw), dtype=dtype)
+
+
+AMD_MODELS = {
+    "AMD_S": AMD_S,  # ~250M
+    "AMD_N": AMD_N,
+    "AMD_L": AMD_L,  # ~700M
+}

@@ -66,6 +66,37 @@ def get_1d_sincos_pos_embed(embed_dim: int, length: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=64)
+def get_3d_sincos_pos_embed(
+    embed_dim: int,
+    spatial_size: Tuple[int, int],
+    temporal_size: int,
+    spatial_interpolation_scale: float = 1.0,
+    temporal_interpolation_scale: float = 1.0,
+) -> np.ndarray:
+    """(T, H*W, embed_dim) table matching diffusers ``get_3d_sincos_pos_embed``:
+    first quarter of channels encodes time, the rest 2-D space."""
+    assert embed_dim % 4 == 0
+    w, h = spatial_size
+    dim_spatial = 3 * embed_dim // 4
+    dim_temporal = embed_dim // 4
+
+    grid_h = np.arange(h, dtype=np.float64) / spatial_interpolation_scale
+    grid_w = np.arange(w, dtype=np.float64) / spatial_interpolation_scale
+    grid = np.meshgrid(grid_w, grid_h)
+    grid = np.stack(grid, axis=0).reshape([2, 1, h, w])
+    emb_a = _sincos_from_grid(dim_spatial // 2, grid[0])
+    emb_b = _sincos_from_grid(dim_spatial // 2, grid[1])
+    pos_spatial = np.concatenate([emb_a, emb_b], axis=1)  # (H*W, 3D/4)
+
+    grid_t = np.arange(temporal_size, dtype=np.float64) / temporal_interpolation_scale
+    pos_temporal = _sincos_from_grid(dim_temporal, grid_t)  # (T, D/4)
+
+    pos_spatial = np.repeat(pos_spatial[np.newaxis], temporal_size, axis=0)
+    pos_temporal = np.repeat(pos_temporal[:, np.newaxis], h * w, axis=1)
+    return np.concatenate([pos_temporal, pos_spatial], axis=-1).astype(np.float32)
+
+
+@lru_cache(maxsize=64)
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: Tuple[int, int]) -> np.ndarray:
     """(h*w, embed_dim) table, row-major over (h, w); channel split and grid
     ordering match diffusers' ``get_2d_sincos_pos_embed`` exactly (including
