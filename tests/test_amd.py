@@ -111,7 +111,7 @@ class TestParamCounts:
         """AMD_S is documented at ~250M params (reference
         model_AMD.py:3205); check we land in that ballpark without
         allocating memory (eval_shape)."""
-        model = amd.AMD_S(use_motiontemporal=False)
+        model = amd.AMD_S()
         video = jax.ShapeDtypeStruct((1, 16, 4, 32, 32), jnp.float32)
 
         def init(v):
