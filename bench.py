@@ -1,0 +1,59 @@
+"""Headline benchmark: video VAE encode+decode throughput (16 frames @ 256²).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); the driver-set target is
+>=10x PyTorch-CPU and A100-parity frames/sec/chip. ``A100_FPS`` below is the
+anchor for ``vs_baseline``: a fp16 torch sd-vae-ft-mse encode+decode of
+256x256 frames sustains on the order of 60 frames/s on one A100 — so
+vs_baseline >= 1.0 means A100 parity.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_FPS = 60.0
+FRAMES = 16
+RES = 256
+
+
+def main():
+    from hivae_tpu.models import vae as vae_mod
+
+    dtype = jnp.bfloat16
+    model = vae_mod.AutoencoderKL(dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((FRAMES, 3, RES, RES), jnp.float32)
+    params = jax.jit(lambda: model.init(key, img[:1]))()
+
+    @jax.jit
+    def encode_decode(x):
+        moments = model.apply(params, x, method="encode_moments")
+        z = moments[:, :4] * vae_mod.SD_VAE_SCALE
+        return model.apply(params, z / vae_mod.SD_VAE_SCALE, method="decode")
+
+    # warmup / compile
+    out = encode_decode(img)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode_decode(img)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = FRAMES * iters / dt
+    print(json.dumps({
+        "metric": "vae_encode_decode_frames_per_sec_per_chip_16f_256",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

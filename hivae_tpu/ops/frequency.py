@@ -66,12 +66,40 @@ def freq_3d_filter(x: jax.Array, lpf: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return _split(x, lpf3)
 
 
+@lru_cache(maxsize=64)
+def _axis_lowpass_op(n: int, d: float) -> np.ndarray:
+    """Complex matrix M = IFFT . diag(g) . FFT for one axis, where g is the
+    reference's per-axis Gaussian factor exp(-0.5 ((i*2/n - 1)/d)^2) in
+    centred order. Applying M along each of (T,H,W) reproduces the 3-D mask
+    exactly because the Gaussian factorizes per axis."""
+    coords = (np.arange(n, dtype=np.float64) * 2.0 / n - 1.0) / d
+    g = np.fft.ifftshift(np.exp(-0.5 * coords ** 2))
+    F = np.fft.fft(np.eye(n))
+    M = np.fft.ifft(g[:, None] * F, axis=0)
+    return M.astype(np.complex64)
+
+
 def freq_3d_split(x: jax.Array, d_s: float, d_t: float) -> Tuple[jax.Array, jax.Array]:
-    """Fused mask-construction + band split for static cutoffs (the hot path
-    used by the AMD models; mask is cached and pre-shifted)."""
-    shape = (x.shape[-3], x.shape[-2], x.shape[-1])
-    mask = jnp.asarray(_gaussian_lpf_np(shape, float(d_s), float(d_t), True))
-    return _split(x, mask)
+    """Band split for static cutoffs — the hot path used by the AMD models.
+
+    TPU-first: instead of a 3-D FFT (slow on TPU, and XLA:CPU's FFT chokes on
+    sharded layouts), the separable Gaussian low-pass is applied as three
+    small complex DFT matmuls, which land on the MXU. Bit-equivalent to the
+    reference's fftshift->mask->ifftshift chain up to fp rounding.
+    """
+    t, h, w = x.shape[-3], x.shape[-2], x.shape[-1]
+    if d_s == 0 or d_t == 0:
+        zeros = jnp.zeros_like(x)
+        return zeros, x
+    mt = jnp.asarray(_axis_lowpass_op(t, float(d_t)))
+    mh = jnp.asarray(_axis_lowpass_op(h, float(d_s)))
+    mw = jnp.asarray(_axis_lowpass_op(w, float(d_s)))
+    y = x.astype(jnp.complex64)
+    y = jnp.einsum("...thw,Ww->...thW", y, mw)
+    y = jnp.einsum("...thw,Hh->...tHw", y, mh)
+    y = jnp.einsum("...thw,Tt->...Thw", y, mt)
+    low = y.real.astype(x.dtype)
+    return low, x - low
 
 
 def _split(x: jax.Array, shifted_lpf: jax.Array) -> Tuple[jax.Array, jax.Array]:

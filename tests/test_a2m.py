@@ -1,0 +1,83 @@
+"""A2M/A2P model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hivae_tpu.models import a2m
+
+KEY = jax.random.PRNGKey(0)
+
+CFG = a2m.A2MConfig(audio_inchannel=16, audio_block=5, motion_num_token=4,
+                    motion_in_channel=32, motion_frames=3, window_size=4,
+                    encoder_out_dim=32, intermediate_dim=32,
+                    pose_height=16, pose_width=16,
+                    diffusion_attn_head_dim=16, diffusion_attn_num_heads=4,
+                    diffusion_num_layers=2)
+
+
+def _data():
+    motion = jax.random.normal(KEY, (2, 3, 4, 32))
+    audio = jax.random.normal(KEY, (2, 3, 5, 16))
+    pose = jax.random.normal(KEY, (2, 3, 4, 16, 16))
+    return motion, motion[:, 0], audio, audio[:, 0], pose, pose[:, 0]
+
+
+class TestA2MCrossAttn:
+    @pytest.mark.parametrize("variant,keys", [
+        ("audio", ("audio", "ref_audio")),
+        ("audio_pose", ("audio", "ref_audio", "pose", "ref_pose")),
+        ("pose", ("pose", "ref_pose")),
+    ])
+    def test_forward_and_sample(self, variant, keys):
+        motion, ref_motion, audio, ref_audio, pose, ref_pose = _data()
+        all_kw = dict(audio=audio, ref_audio=ref_audio, pose=pose,
+                      ref_pose=ref_pose)
+        kw = {k: all_kw[k] for k in keys}
+        m = a2m.A2MModelCrossAttnAudio(cfg=CFG, variant=variant)
+        p = m.init({"params": KEY, "noise": KEY}, motion, ref_motion, **kw)
+        ld = m.apply(p, motion, ref_motion, **kw, rngs={"noise": KEY})
+        assert np.isfinite(float(ld["loss"]))
+        out = a2m.sample(m, p, KEY, ref_motion, frames=3, sample_step=2, **kw)
+        assert out.shape == motion.shape
+
+    def test_mask_weighting(self):
+        """A fully-masked frame must not contribute to the loss."""
+        motion, ref_motion, audio, ref_audio, *_ = _data()
+        m = a2m.A2MModelCrossAttnAudio(cfg=CFG, variant="audio")
+        p = m.init({"params": KEY, "noise": KEY}, motion, ref_motion,
+                   audio=audio, ref_audio=ref_audio)
+        full = m.apply(p, motion, ref_motion, audio=audio,
+                       ref_audio=ref_audio, mask=jnp.ones((2, 3)),
+                       rngs={"noise": KEY})
+        partial = m.apply(p, motion, ref_motion, audio=audio,
+                          ref_audio=ref_audio,
+                          mask=jnp.array([[1., 1., 0.], [1., 1., 0.]]),
+                          rngs={"noise": KEY})
+        assert float(full["loss"]) != float(partial["loss"])
+
+
+class TestA2MLearnableToken:
+    @pytest.mark.parametrize("simple", [False, True])
+    def test_forward_and_sample(self, simple):
+        motion, ref_motion, audio, *_ = _data()
+        m = a2m.A2MModelLearnableToken(cfg=CFG, simple_adaln=simple)
+        p = m.init({"params": KEY, "noise": KEY}, motion, ref_motion, audio)
+        ld = m.apply(p, motion, ref_motion, audio, rngs={"noise": KEY})
+        assert np.isfinite(float(ld["loss"]))
+        out = a2m.sample(m, p, KEY, ref_motion, frames=3, sample_step=2,
+                         audio=audio)
+        assert out.shape == motion.shape
+
+
+class TestA2P:
+    def test_shapes(self):
+        m = a2m.A2PTransformer(pose_height=16, pose_width=16,
+                               pose_patch_size=4, heads=4, head_dim=16,
+                               num_layers=2)
+        ref_pose = jax.random.normal(KEY, (2, 4, 16, 16))
+        audio = jax.random.normal(KEY, (2, 4, 6, 64))
+        p = m.init(KEY, ref_pose, audio)
+        out = m.apply(p, ref_pose, audio)
+        assert out.shape == (2, 4, 4, 16, 16)
