@@ -1,0 +1,123 @@
+"""Host-side video decode + pixel transforms (bit-parity with the reference).
+
+The reference decodes with decord and transforms with torchvision
+(``dataset/dataset.py:90-107``: Resize(256, antialias) -> CenterCrop(256) ->
+Normalize(0.5, 0.5)). Neither decord nor torchvision exists here; decoding
+uses OpenCV and the resize path calls ``torch.nn.functional.interpolate``
+with ``antialias=True`` — the exact kernel torchvision's Resize dispatches
+to — so transformed frames match the reference bit-for-bit.
+
+Everything here is host-only (never inside jit); outputs are numpy arrays
+handed to the device feed.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def sample_frames_with_fps(total_frames: int, video_fps: float,
+                           sample_num_frames: int, sample_fps: float,
+                           start_index: Optional[int] = None,
+                           rng: Optional[random.Random] = None) -> np.ndarray:
+    """fps-proportional frame indices (reference ``dataset.py:242-281``)."""
+    interval = round(video_fps / sample_fps)
+    frames_range = (sample_num_frames - 1) * interval + 1
+    if start_index is not None:
+        start = start_index
+    elif total_frames - frames_range - 1 < 0:
+        start = 0
+    else:
+        start = (rng or random).randint(0, total_frames - frames_range - 1)
+    return np.linspace(start, min(total_frames - 1, start + frames_range),
+                       num=sample_num_frames).astype(int)
+
+
+def read_video_frames(path: str, indices: np.ndarray) -> np.ndarray:
+    """Decode specific frames -> (F, H, W, 3) uint8 RGB."""
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    frames = []
+    want = set(int(i) for i in indices)
+    max_idx = int(max(want))
+    by_idx = {}
+    idx = 0
+    while idx <= max_idx:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx in want:
+            by_idx[idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        idx += 1
+    cap.release()
+    if not by_idx:
+        raise IOError(f"no frames decoded from {path}")
+    last = by_idx[max(by_idx)]
+    return np.stack([by_idx.get(int(i), last) for i in indices])
+
+
+def video_metadata(path: str) -> Tuple[int, float]:
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    cap.release()
+    return n, fps
+
+
+def to_grayscale(frames: np.ndarray) -> np.ndarray:
+    """RGB (F,H,W,3) uint8 -> 3-channel grayscale, matching the reference's
+    cv2 RGB->BGR->GRAY chain (``dataset.py:181-197``)."""
+    out = np.zeros(frames.shape[:3], dtype=np.uint8)
+    for i in range(frames.shape[0]):
+        bgr = cv2.cvtColor(frames[i], cv2.COLOR_RGB2BGR)
+        out[i] = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    return np.repeat(out[:, None], 3, axis=1).transpose(0, 2, 3, 1)
+
+
+def pixel_transform(frames: np.ndarray, size: int = 256) -> np.ndarray:
+    """uint8 (F,H,W,C) -> float32 (F,C,size,size) in [-1, 1]:
+    Resize(size, bilinear+antialias) -> CenterCrop(size) -> Normalize(.5,.5).
+    """
+    x = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
+    f, c, h, w = x.shape
+    # torchvision Resize semantics: scale shorter side to `size`
+    if h < w:
+        nh, nw = size, max(1, int(round(w * size / h)))
+    else:
+        nh, nw = max(1, int(round(h * size / w))), size
+    if (nh, nw) != (h, w):
+        x = F.interpolate(x, size=(nh, nw), mode="bilinear",
+                          antialias=True, align_corners=False)
+    # center crop
+    top = max(0, (x.shape[2] - size) // 2)
+    left = max(0, (x.shape[3] - size) // 2)
+    x = x[:, :, top:top + size, left:left + size]
+    if x.shape[2] < size or x.shape[3] < size:
+        ph, pw = size - x.shape[2], size - x.shape[3]
+        x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    x = (x - 0.5) / 0.5
+    return x.numpy()
+
+
+def write_video(path: str, frames: np.ndarray, fps: float = 8.0) -> None:
+    """(F,C,H,W) or (F,H,W,C) uint8 -> mp4 via OpenCV."""
+    if frames.shape[1] in (1, 3) and frames.ndim == 4 and \
+            frames.shape[1] < frames.shape[-1]:
+        frames = frames.transpose(0, 2, 3, 1)
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             float(fps), (w, h))
+    if not writer.isOpened():
+        raise IOError(f"cannot open writer for {path}")
+    for f in frames:
+        writer.write(cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_RGB2BGR))
+    writer.release()

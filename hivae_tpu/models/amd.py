@@ -601,6 +601,74 @@ def decode(model: nn.Module, params, key: jax.Array, ref_img,
     return zt.reshape((n, t) + zt.shape[1:])
 
 
+def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
+                              motion, sample_step: int = 10):
+    """Image + motion tokens -> video latents (reference
+    ``AMDModel.sample_with_refimg_motion:760-839``): source motion extracted
+    from the single reference frame, provided tokens as target.
+
+    ref_img: (N,C,H,W); motion: (N,F,L,D). Returns (zi, sample) as
+    (N,F,C,H,W).
+    """
+    cfg: AMDConfig = model.cfg
+    n, t, l, d = motion.shape
+    src = model.apply(params, ref_img[:, None], method="extract_motion")
+    source_motion = jnp.broadcast_to(src, (n, t, l, d)).reshape(n * t, l, d)
+    target_motion = motion.reshape(n * t, l, d)
+    motions = dict(object_source=source_motion, object_target=target_motion)
+    if not isinstance(model, AMDModelNew):
+        motions = dict(camera_source=source_motion,
+                       camera_target=target_motion,
+                       object_source=None, object_target=None)
+
+    zi = jnp.repeat(ref_img[:, None], t, axis=1).reshape(
+        (n * t,) + ref_img.shape[1:])
+    z0 = jax.random.normal(key, zi.shape, zi.dtype)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step,
+                       cfg.scheduler_num_step)
+    unflat = lambda x: x.reshape((n, t) + x.shape[1:])
+    return unflat(zi), unflat(zt)
+
+
+def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
+                 video_grey_1=None, video_grey_2=None, ref_img_grey=None,
+                 sample_step: int = 50, start_step: Optional[int] = None,
+                 camera_mask_ratio=None, object_mask_ratio=None):
+    """Cross-video motion transfer (reference
+    ``AMDModel_New.sample_cross:2198-2375``): camera motion from video_1,
+    object motion + appearance from video_2.
+
+    Mirrors the reference's cutoffs: LF of video_1 at 0.5, HF of
+    ref+video_2 at 0.6; only the camera stream drives the DiT.
+    """
+    assert isinstance(model, AMDModelNew)
+    cfg: AMDConfig = model.cfg
+    n, t = video_1.shape[:2]
+    start = cfg.scheduler_num_step if start_step is None else start_step
+
+    kenc, knoise = jax.random.split(key)
+    cam_src_video = video_grey_1 if cfg.use_grey else video_1
+    lf_video, _ = _band_split(cam_src_video, 0.5, 0.5)
+    if cfg.use_camera_down:
+        b = lf_video.reshape((n * t,) + lf_video.shape[2:])
+        b = model.apply(params, b,
+                        method=lambda m, x: m.camera_down(x))
+        lf_video = b.reshape((n, t) + b.shape[1:])
+    camera_target = model.apply(
+        params, lf_video, camera_mask_ratio,
+        method=lambda m, x, r: m.camera_motion_encoder(x, r),
+        rngs={"mask": kenc})
+
+    motions = dict(camera_target=camera_target, object_source=None,
+                   object_target=None)
+    zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+    zj = video_2.reshape((n * t,) + video_2.shape[2:])
+    z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    unflat = lambda x: x.reshape((n, t) + x.shape[1:])
+    return unflat(zi), unflat(zt), unflat(zj)
+
+
 def _euler_decode(model, params, zi, z0, motions, sample_step, start_step):
     step_seq = rf.sample_step_sequence(sample_step, start_step)
 

@@ -1,0 +1,253 @@
+"""Inference pipelines: video reconstruction, cross-video motion transfer,
+and windowed autoregressive image+audio -> video.
+
+Capability parity with the reference pipelines (reference:
+``model/pipeline.py``):
+
+  * ``AMDReconstructionPipeline``  ~ ``AMDPipeLine_single:619-794`` — read a
+    clip, VAE-encode, AMD motion-extract + Euler-decode, VAE-decode, write.
+  * ``AMDCrossVideoPipeline``      ~ ``AMDPipeLine_single_cross:801`` —
+    motion from one clip, appearance from another.
+  * ``ImageAudio2VideoPipeline``   ~ ``ImageAudio2VideoPipeLine:1217-1528`` —
+    W-frame windowed autoregressive loop chaining the last R frames/motions
+    as reference for the next window (the reference's long-video mechanism).
+
+TPU-first: host work (decode, resize, mp4 writing) stays in numpy/cv2/torch
+CPU; all device work runs through the jitted functional samplers in
+``models.amd`` / ``models.a2m`` with static shapes per window, so each
+window reuses one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import video as vio
+from ..models import a2m as a2m_mod
+from ..models import amd as amd_mod
+from ..models import vae as vae_mod
+
+
+class AMDReconstructionPipeline:
+    """Single-window video reconstruction through the motion bottleneck."""
+
+    def __init__(self, vae, vae_params, amd_model, amd_params,
+                 window: int = 16, use_grey: bool = False,
+                 sample_size: int = 256):
+        self.vae = vae
+        self.vae_params = vae_params
+        self.amd_model = amd_model
+        self.amd_params = amd_params
+        self.window = window
+        self.use_grey = use_grey
+        self.sample_size = sample_size
+
+    def _load_clip(self, video_path: str, fps: int):
+        total, video_fps = vio.video_metadata(video_path)
+        idx = vio.sample_frames_with_fps(total, video_fps, self.window + 1,
+                                         fps, start_index=0)
+        frames = vio.read_video_frames(video_path, idx)
+        pixels = vio.pixel_transform(frames, self.sample_size)
+        grey = None
+        if self.use_grey:
+            grey = vio.pixel_transform(vio.to_grayscale(frames),
+                                       self.sample_size)
+        return pixels, grey
+
+    def sample(self, video_path: str, output_path: Optional[str] = None,
+               video_sample_step: int = 20, fps: int = 8,
+               object_mask_ratio=None, camera_mask_ratio=None,
+               key: Optional[jax.Array] = None) -> np.ndarray:
+        """Returns the reconstructed clip (F+1, C, H, W) uint8; writes mp4
+        when ``output_path`` is given."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pixels, grey = self._load_clip(video_path, fps)
+
+        z = vae_mod.vae_encode(self.vae, self.vae_params,
+                               jnp.asarray(pixels)[None])[0]
+        refimg_z, gt_video_z = z[:1], z[1:][None]
+        ref = jnp.broadcast_to(refimg_z[:, None], gt_video_z.shape)
+
+        grey_kw = {}
+        if self.use_grey:
+            gz = vae_mod.vae_encode(self.vae, self.vae_params,
+                                    jnp.asarray(grey)[None])[0]
+            grey_kw = dict(
+                video_grey=gz[1:][None],
+                ref_img_grey=jnp.broadcast_to(gz[:1][None], gt_video_z.shape))
+
+        _, video_pre, _ = amd_mod.sample(
+            self.amd_model, self.amd_params, key, gt_video_z, ref,
+            sample_step=video_sample_step,
+            camera_mask_ratio=camera_mask_ratio,
+            object_mask_ratio=object_mask_ratio, **grey_kw)
+
+        result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
+        imgs = vae_mod.vae_decode(self.vae, self.vae_params, result)[0]
+        out = np.asarray(vae_mod.latents_to_rgb(imgs))
+        if output_path:
+            vio.write_video(output_path, out, fps=fps)
+        return out
+
+
+class AMDCrossVideoPipeline(AMDReconstructionPipeline):
+    """Motion from ``video_path_1``, appearance from ``video_path_2``."""
+
+    def sample_cross(self, video_path_1: str, video_path_2: str,
+                     output_path: Optional[str] = None,
+                     video_sample_step: int = 20, fps: int = 8,
+                     key: Optional[jax.Array] = None) -> np.ndarray:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pix1, grey1 = self._load_clip(video_path_1, fps)
+        pix2, grey2 = self._load_clip(video_path_2, fps)
+
+        z1 = vae_mod.vae_encode(self.vae, self.vae_params,
+                                jnp.asarray(pix1)[None])[0]
+        z2 = vae_mod.vae_encode(self.vae, self.vae_params,
+                                jnp.asarray(pix2)[None])[0]
+        ref = jnp.broadcast_to(z2[:1][None][:, :1], z2[1:][None].shape)
+        kw = {}
+        if self.use_grey:
+            g1 = vae_mod.vae_encode(self.vae, self.vae_params,
+                                    jnp.asarray(grey1)[None])[0]
+            g2 = vae_mod.vae_encode(self.vae, self.vae_params,
+                                    jnp.asarray(grey2)[None])[0]
+            kw = dict(video_grey_1=g1[1:][None], video_grey_2=g2[1:][None],
+                      ref_img_grey=jnp.broadcast_to(
+                          g2[:1][None][:, :1], g2[1:][None].shape))
+
+        _, video_pre, _ = amd_mod.sample_cross(
+            self.amd_model, self.amd_params, key, z1[1:][None], z2[1:][None],
+            ref, sample_step=video_sample_step, **kw)
+
+        result = jnp.concatenate([z2[:1][None], video_pre], axis=1)
+        imgs = vae_mod.vae_decode(self.vae, self.vae_params, result)[0]
+        out = np.asarray(vae_mod.latents_to_rgb(imgs))
+        if output_path:
+            vio.write_video(output_path, out, fps=fps)
+        return out
+
+
+class ImageAudio2VideoPipeline:
+    """Windowed autoregressive audio-driven video generation.
+
+    Mirrors the reference chaining (``pipeline.py:1295-1378``): each W-frame
+    window extracts reference motion from the previous window's tail (R
+    frames), samples motion with the A2M head, then decodes video latents
+    with the AMD model conditioned on the last generated frame. A ragged
+    tail re-runs the final window ending at the last audio frame.
+    """
+
+    def __init__(self, vae, vae_params, amd_model, amd_params, a2m_model,
+                 a2m_params, window: int = 16, a2m_ref_num_frame: int = 8,
+                 sample_size: int = 256):
+        self.vae = vae
+        self.vae_params = vae_params
+        self.amd_model = amd_model
+        self.amd_params = amd_params
+        self.a2m_model = a2m_model
+        self.a2m_params = a2m_params
+        self.window = window
+        self.ref_frames = a2m_ref_num_frame
+        self.sample_size = sample_size
+        assert window >= a2m_ref_num_frame
+
+    def _pad_ref(self, x: jax.Array) -> jax.Array:
+        """Left-pad the frame axis to R (reference ``transform_a2m_ref``)."""
+        r = self.ref_frames
+        if x.shape[1] >= r:
+            return x[:, -r:]
+        pad = jnp.zeros((x.shape[0], r - x.shape[1]) + x.shape[2:], x.dtype)
+        return jnp.concatenate([pad, x], axis=1)
+
+    def predict(self, ref_img: jax.Array, ref_audio: jax.Array,
+                audio: jax.Array, motion_sample_step: int = 4,
+                video_sample_step: int = 4,
+                key: Optional[jax.Array] = None) -> jax.Array:
+        """ref_img (N,F0,C,H,W) pixels; ref_audio (N,F0,M,D); audio (N,T,M,D)
+        -> video latents (N,T+1,c,h,w)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        w, r = self.window, self.ref_frames
+
+        ref_img = self._pad_ref(ref_img)
+        ref_z = vae_mod.vae_encode(self.vae, self.vae_params, ref_img)
+        random_ref = ref_z[:, -1]
+
+        pre_motion = None
+        pre_video = None
+        total = audio.shape[1]
+        num_windows = total // w
+        offset = total % w
+
+        for i in range(num_windows):
+            key, km, kv = jax.random.split(key, 3)
+            s, e = i * w, (i + 1) * w
+            if i == 0:
+                ref_motion = self.amd_model.apply(
+                    self.amd_params, ref_z, method="extract_motion")
+                cur_ref_audio = self._pad_ref(ref_audio)
+            else:
+                ref_motion = pre_motion[:, -r:]
+                cur_ref_audio = audio[:, s - r:s]
+
+            motion_pre = self._sample_motion(km, ref_motion, audio[:, s:e],
+                                             cur_ref_audio,
+                                             motion_sample_step)
+            m2v_ref = random_ref if i == 0 else pre_video[:, -1]
+            _, video_pre = amd_mod.sample_with_refimg_motion(
+                self.amd_model, self.amd_params, kv, m2v_ref, motion_pre,
+                sample_step=video_sample_step)
+
+            pre_motion = motion_pre if pre_motion is None else jnp.concatenate(
+                [pre_motion, motion_pre], axis=1)
+            pre_video = video_pre if pre_video is None else jnp.concatenate(
+                [pre_video, video_pre], axis=1)
+
+        if offset > 0 and pre_motion is not None:
+            key, km, kv = jax.random.split(key, 3)
+            e = total
+            s = e - w
+            ref_motion = pre_motion[:, s - r:s]
+            motion_pre = self._sample_motion(km, ref_motion, audio[:, s:e],
+                                             audio[:, s - r:s],
+                                             motion_sample_step)
+            _, video_pre = amd_mod.sample_with_refimg_motion(
+                self.amd_model, self.amd_params, kv, pre_video[:, s - 1],
+                motion_pre, sample_step=video_sample_step)
+            pre_motion = jnp.concatenate([pre_motion[:, :s], motion_pre], axis=1)
+            pre_video = jnp.concatenate([pre_video[:, :s], video_pre], axis=1)
+
+        return jnp.concatenate([ref_z[:, -1:], pre_video], axis=1)
+
+    def _sample_motion(self, key, ref_motion, audio, ref_audio, steps):
+        """One A2M sampling call; ref motion reduced to the last frame's
+        tokens (the cross-attn A2M conditions on a single ref-motion set)."""
+        return a2m_mod.sample(
+            self.a2m_model, self.a2m_params, key, ref_motion[:, -1],
+            frames=audio.shape[1], sample_step=steps, audio=audio,
+            ref_audio=ref_audio[:, -1])
+
+    def sample(self, refimg_path: str, audio_emb: np.ndarray,
+               output_path: Optional[str] = None,
+               motion_sample_step: int = 8, video_sample_step: int = 20,
+               fps: int = 25, key: Optional[jax.Array] = None) -> np.ndarray:
+        """File-level driver (reference ``:1388-1438``): image path +
+        precomputed whisper embeddings (T,M,D) -> decoded uint8 video."""
+        import cv2
+
+        frame = cv2.cvtColor(cv2.imread(refimg_path), cv2.COLOR_BGR2RGB)
+        pixels = vio.pixel_transform(frame[None], self.sample_size)
+        ref_img = jnp.asarray(pixels)[None]  # (1,1,C,H,W)
+        audio_emb = jnp.asarray(audio_emb)[None][:, :256]
+
+        latents = self.predict(ref_img, audio_emb[:, :1], audio_emb[:, 1:],
+                               motion_sample_step, video_sample_step, key=key)
+        video = vae_mod.vae_decode(self.vae, self.vae_params, latents)[0]
+        out = np.asarray(vae_mod.latents_to_rgb(video))
+        if output_path:
+            vio.write_video(output_path, out, fps=fps)
+        return out

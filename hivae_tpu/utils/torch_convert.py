@@ -48,6 +48,8 @@ _RULES: List[Tuple[str, str]] = [
     (r"\bto_out\b", "to_out.0"),
     (r"\bcamera_down\.conv1\b", "camera_down.0"),
     (r"\bcamera_down\.conv2\b", "camera_down.1"),
+    (r"\bfeatures_(\d+)\b", r"features.\1"),   # torchvision VGG16
+    (r"\blin(\d)\b", r"lin\1.model.1"),        # LPIPS heads
 ]
 
 _LEAF = {"kernel": "weight", "scale": "weight", "bias": "bias",

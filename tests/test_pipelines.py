@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests on tiny models + synthetic video files."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hivae_tpu.data import video as vio
+from hivae_tpu.models import a2m as a2m_mod
+from hivae_tpu.models import amd as amd_mod
+from hivae_tpu.models import vae as vae_mod
+from hivae_tpu.pipelines import (AMDCrossVideoPipeline,
+                                 AMDReconstructionPipeline,
+                                 ImageAudio2VideoPipeline)
+
+KEY = jax.random.PRNGKey(0)
+SIZE = 32   # pixel resolution
+LAT = 4     # latent resolution (SIZE/8)
+W = 4       # window frames
+
+
+@pytest.fixture(scope="module")
+def tiny_stack():
+    vae = vae_mod.AutoencoderKL(cfg=vae_mod.VAEConfig(
+        block_out_channels=(4, 8, 8, 8), layers_per_block=1,
+        norm_num_groups=4))
+    vae_params = vae.init(KEY, jnp.zeros((1, 3, SIZE, SIZE)))
+
+    amd_cfg = amd_mod.AMDConfig(
+        image_height=LAT, image_width=LAT, image_patch_size=1,
+        video_frames=W, use_filter=True, use_grey=True,
+        object_motion_token_num=2, object_motion_token_channel=16,
+        object_enc_num_layers=1, enc_nhead=2, enc_ndim=8,
+        camera_motion_token_num=W, camera_motion_token_channel=8,
+        camera_enc_num_layers=1, motion_token_num=2, motion_token_channel=16,
+        diffusion_model_type="spatial", diffusion_attn_head_dim=8,
+        diffusion_attn_num_heads=2, diffusion_num_layers=1)
+    amd = amd_mod.AMDModelNew(cfg=amd_cfg)
+    v = jnp.zeros((1, W, 4, LAT, LAT))
+    amd_params = amd.init({"params": KEY, "noise": KEY}, v, v, v, v)
+
+    a2m_cfg = a2m_mod.A2MConfig(
+        audio_inchannel=8, audio_block=3, motion_num_token=2,
+        motion_in_channel=16, motion_frames=W, window_size=2,
+        encoder_out_dim=16, intermediate_dim=16,
+        diffusion_attn_head_dim=8, diffusion_attn_num_heads=2,
+        diffusion_num_layers=1)
+    a2m = a2m_mod.A2MModelCrossAttnAudio(cfg=a2m_cfg, variant="audio")
+    motion = jnp.zeros((1, W, 2, 16))
+    audio = jnp.zeros((1, W, 3, 8))
+    a2m_params = a2m.init({"params": KEY, "noise": KEY}, motion, motion[:, 0],
+                          audio=audio, ref_audio=audio[:, 0])
+    return dict(vae=vae, vae_params=vae_params, amd=amd,
+                amd_params=amd_params, a2m=a2m, a2m_params=a2m_params)
+
+
+@pytest.fixture(scope="module")
+def video_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "test.mp4")
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (W + 3, SIZE, SIZE, 3), dtype=np.uint8)
+    vio.write_video(path, frames, fps=8)
+    return path
+
+
+class TestVideoIO:
+    def test_roundtrip(self, video_file):
+        total, fps = vio.video_metadata(video_file)
+        assert total == W + 3
+        frames = vio.read_video_frames(video_file, np.arange(3))
+        assert frames.shape == (3, SIZE, SIZE, 3)
+
+    def test_pixel_transform_range(self, video_file):
+        frames = vio.read_video_frames(video_file, np.arange(2))
+        x = vio.pixel_transform(frames, SIZE)
+        assert x.shape == (2, 3, SIZE, SIZE)
+        assert -1.001 <= x.min() and x.max() <= 1.001
+
+    def test_resize_matches_torchvision_semantics(self):
+        """Non-square input: shorter side scaled to size, then center crop."""
+        frames = np.zeros((1, 48, 96, 3), dtype=np.uint8)
+        x = vio.pixel_transform(frames, 32)
+        assert x.shape == (1, 3, 32, 32)
+
+    def test_fps_sampling(self):
+        idx = vio.sample_frames_with_fps(100, 30.0, 5, 3.0, start_index=0)
+        assert len(idx) == 5 and idx[0] == 0
+        assert np.all(np.diff(idx) > 0)
+
+
+class TestReconstructionPipeline:
+    def test_sample(self, tiny_stack, video_file, tmp_path):
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        out_path = str(tmp_path / "recon.mp4")
+        out = pipe.sample(video_file, out_path, video_sample_step=2)
+        assert out.shape == (W + 1, 3, SIZE, SIZE)
+        assert out.dtype == np.uint8
+        assert os.path.exists(out_path)
+
+    def test_cross(self, tiny_stack, video_file):
+        pipe = AMDCrossVideoPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        out = pipe.sample_cross(video_file, video_file, video_sample_step=2)
+        assert out.shape == (W + 1, 3, SIZE, SIZE)
+
+
+class TestImageAudio2Video:
+    def test_predict_windows_and_tail(self, tiny_stack):
+        pipe = ImageAudio2VideoPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], tiny_stack["a2m"],
+            tiny_stack["a2m_params"], window=W, a2m_ref_num_frame=2,
+            sample_size=SIZE)
+        ref_img = jnp.zeros((1, 1, 3, SIZE, SIZE))
+        ref_audio = jnp.zeros((1, 1, 3, 8))
+        audio = jax.random.normal(KEY, (1, 2 * W + 2, 3, 8))  # 2 windows + tail
+        out = pipe.predict(ref_img, ref_audio, audio, motion_sample_step=2,
+                           video_sample_step=2)
+        assert out.shape == (1, 2 * W + 2 + 1, 4, LAT, LAT)
