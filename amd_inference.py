@@ -1,0 +1,102 @@
+"""Batch video-reconstruction CLI — parity with the reference
+``amd_inference.py``: load config.json + newest checkpoint, run
+``AMDReconstructionPipeline.sample`` over a directory/list of videos.
+"""
+
+import argparse
+import glob
+import json
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--amd_config", type=str, required=True,
+                   help="config.json written at training time")
+    p.add_argument("--amd_ckpt", type=str, required=True,
+                   help="checkpoint dir (native Orbax) or .safetensors")
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--video_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--video_frames", type=int, default=16,
+                   help="sampling window")
+    p.add_argument("--sample_step", type=int, default=10)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--model_type", type=str, default="AMD_N")
+    return p.parse_args()
+
+
+def load_amd(args, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from hivae_tpu.models import amd
+    from hivae_tpu.training import checkpoint as ckpt_lib
+
+    with open(args.amd_config) as f:
+        cfg = amd.AMDConfig.from_dict(json.load(f))
+    cfg = cfg.replace(video_frames=args.video_frames)
+    cls = amd.AMDModelNew if args.model_type == "AMD_N" else amd.AMDModel
+    model = cls(cfg=cfg, dtype=dtype)
+
+    key = jax.random.PRNGKey(0)
+    lat = cfg.image_height
+    dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel, lat, lat))
+    kw = dict(video_grey=dummy, ref_img_grey=dummy) if cfg.use_grey else {}
+    params = model.init({"params": key, "noise": key}, dummy, dummy, **kw)
+
+    if args.amd_ckpt.endswith(".safetensors"):
+        params, report = ckpt_lib.load_pretrain_partial(params, args.amd_ckpt)
+        print(f"converted torch checkpoint; missing={len(report['missing'])}")
+    else:
+        path = ckpt_lib.find_latest_checkpoint(args.amd_ckpt) or args.amd_ckpt
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(path)
+        params = restored.get("params", restored) if hasattr(
+            restored, "get") else restored
+        if "params" not in params:
+            params = {"params": params}
+    return model, params
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.pipelines import AMDReconstructionPipeline
+
+    dtype = jnp.bfloat16
+    model, params = load_amd(args, dtype)
+
+    vae = vae_mod.AutoencoderKL(dtype=dtype)
+    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    if args.vae_ckpt:
+        from hivae_tpu.utils.torch_convert import (convert_torch_state,
+                                                   load_safetensors,
+                                                   normalize_vae_keys)
+        state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
+        vae_params, _ = convert_torch_state(vae_params, state, strict=False)
+
+    pipe = AMDReconstructionPipeline(
+        vae, vae_params, model, params, window=args.video_frames,
+        use_grey=getattr(model.cfg, "use_grey", False))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),
+                              recursive=True))
+    for i, vp in enumerate(videos):
+        name = os.path.splitext(os.path.basename(vp))[0]
+        out = os.path.join(args.output_dir, f"{name}_recon.mp4")
+        try:
+            pipe.sample(vp, out, video_sample_step=args.sample_step,
+                        fps=args.fps, key=jax.random.PRNGKey(i))
+            print(f"[{i+1}/{len(videos)}] {vp} -> {out}")
+        except Exception as e:  # per-video fault tolerance (reference :135-152)
+            print(f"[{i+1}/{len(videos)}] FAILED {vp}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Single-pair / cross-video motion-transfer CLI — parity with the reference
+``amd_inference_single.py`` (AMDPipeLine_single_cross)."""
+
+import argparse
+
+from amd_inference import load_amd
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--amd_config", type=str, required=True)
+    p.add_argument("--amd_ckpt", type=str, required=True)
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--video_path_1", type=str, required=True,
+                   help="motion source")
+    p.add_argument("--video_path_2", type=str, required=True,
+                   help="appearance source")
+    p.add_argument("--output_path", type=str, default="output/cross.mp4")
+    p.add_argument("--video_frames", type=int, default=16)
+    p.add_argument("--sample_step", type=int, default=20)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--model_type", type=str, default="AMD_N")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.pipelines import AMDCrossVideoPipeline
+
+    dtype = jnp.bfloat16
+    model, params = load_amd(args, dtype)
+    vae = vae_mod.AutoencoderKL(dtype=dtype)
+    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    if args.vae_ckpt:
+        from hivae_tpu.utils.torch_convert import (convert_torch_state,
+                                                   load_safetensors,
+                                                   normalize_vae_keys)
+        state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
+        vae_params, _ = convert_torch_state(vae_params, state, strict=False)
+
+    pipe = AMDCrossVideoPipeline(
+        vae, vae_params, model, params, window=args.video_frames,
+        use_grey=getattr(model.cfg, "use_grey", False))
+    pipe.sample_cross(args.video_path_1, args.video_path_2, args.output_path,
+                      video_sample_step=args.sample_step, fps=args.fps)
+    print("saved:", args.output_path)
+
+
+if __name__ == "__main__":
+    main()

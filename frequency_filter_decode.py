@@ -1,0 +1,75 @@
+"""Offline frequency-band decode visualizer — parity with the reference
+``frenquence_filter_decode.py``: VAE-encode a clip, split latents into
+low/high bands at a given cutoff, decode each band back to pixels, and write
+side-by-side mp4s. (BASELINE config 3 surface.)"""
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--video_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="freq_out")
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--cutoff", type=float, default=0.5)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--mode", type=str, default="fft",
+                   choices=["fft", "wavelet"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hivae_tpu.data import video as vio
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.ops import frequency, wavelet
+
+    vae = vae_mod.AutoencoderKL()
+    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    if args.vae_ckpt:
+        from hivae_tpu.utils.torch_convert import (convert_torch_state,
+                                                   load_safetensors,
+                                                   normalize_vae_keys)
+        state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
+        vae_params, _ = convert_torch_state(vae_params, state, strict=False)
+
+    total, fps = vio.video_metadata(args.video_path)
+    idx = vio.sample_frames_with_fps(total, fps, args.frames, args.fps,
+                                     start_index=0)
+    frames = vio.read_video_frames(args.video_path, idx)
+    pixels = vio.pixel_transform(frames)
+    z = vae_mod.vae_encode(vae, vae_params, jnp.asarray(pixels)[None])
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    name = os.path.splitext(os.path.basename(args.video_path))[0]
+
+    if args.mode == "fft":
+        zc = z.transpose(0, 2, 1, 3, 4)  # n c t h w
+        low, high = frequency.freq_3d_split(zc, args.cutoff, args.cutoff)
+        bands = {"low": low.transpose(0, 2, 1, 3, 4),
+                 "high": high.transpose(0, 2, 1, 3, 4) + 0.0}
+    else:
+        flat = z[0]
+        ll, hl, lh, hh = wavelet.dwt2(flat)
+        up = lambda b: jnp.repeat(jnp.repeat(b, 2, -2), 2, -1)
+        bands = {"ll": up(ll)[None], "hl": up(hl)[None],
+                 "lh": up(lh)[None], "hh": up(hh)[None]}
+
+    for band, lat in bands.items():
+        video = vae_mod.vae_decode(vae, vae_params, lat)[0]
+        out = np.asarray(vae_mod.latents_to_rgb(video))
+        path = os.path.join(args.output_dir,
+                            f"{name}_{args.mode}_{band}.mp4")
+        vio.write_video(path, out, fps=args.fps)
+        print("saved:", path)
+
+
+if __name__ == "__main__":
+    main()

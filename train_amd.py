@@ -1,0 +1,185 @@
+"""AMD trainer CLI — argparse-compatible with the reference ``train_amd.py``.
+
+Builds the model from flags (or ``--amd_config`` json / reloads a reference
+checkpoint), a frozen SD-VAE, the video dataset, and runs the sharded TPU
+training loop. Flags keep the reference's names (``train_amd.py:38-138``)
+so the shipped launcher scripts translate directly.
+"""
+
+import argparse
+import json
+import os
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return v.lower() in ("yes", "true", "t", "y", "1")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    # run
+    p.add_argument("--output_dir", type=str, default="exp/amd")
+    p.add_argument("--exp_name", type=str, default="amd")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mp", type=str, default="bf16",
+                   choices=["bf16", "fp16", "no"])
+    p.add_argument("--max_train_steps", type=int, default=100_000)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--save_checkpoint_interval_step", type=int, default=2000)
+    p.add_argument("--checkpoint_total_limit", type=int, default=2)
+    p.add_argument("--eval_interval_step", type=int, default=2000)
+    p.add_argument("--resume_training", type=str2bool, default=False)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="data,fsdp,tensor e.g. '4,2,1'; default all-data")
+    # model
+    p.add_argument("--model_type", type=str, default="AMD_N")
+    p.add_argument("--amd_config", type=str, default=None)
+    p.add_argument("--pretrain_path", type=str, default=None)
+    p.add_argument("--video_frames", type=int, default=16)
+    p.add_argument("--image_height", type=int, default=32)
+    p.add_argument("--image_width", type=int, default=32)
+    p.add_argument("--use_filter", type=str2bool, default=True)
+    p.add_argument("--use_grey", type=str2bool, default=True)
+    p.add_argument("--use_camera", type=str2bool, default=True)
+    p.add_argument("--use_object", type=str2bool, default=True)
+    p.add_argument("--use_camera_down", type=str2bool, default=False)
+    p.add_argument("--use_regularizers", type=str2bool, default=False)
+    p.add_argument("--motion_type", type=str, default="plus")
+    p.add_argument("--diffusion_model_type", type=str, default="spatial")
+    p.add_argument("--object_motion_token_num", type=int, default=4)
+    p.add_argument("--object_motion_token_channel", type=int, default=512)
+    p.add_argument("--camera_motion_token_num", type=int, default=16)
+    p.add_argument("--camera_motion_token_channel", type=int, default=16)
+    p.add_argument("--motion_token_num", type=int, default=4)
+    p.add_argument("--motion_token_channel", type=int, default=512)
+    p.add_argument("--camera_mask_ratio", type=float, default=None)
+    p.add_argument("--object_mask_ratio", type=float, default=None)
+    # data
+    p.add_argument("--dataset", type=str, default="AMDConsecutiveVideo")
+    p.add_argument("--video_dir", type=str, required=True)
+    p.add_argument("--sample_fps", type=int, default=8)
+    p.add_argument("--sample_size", type=int, default=256)
+    p.add_argument("--dataloader_num_workers", type=int, default=8)
+    # vae
+    p.add_argument("--vae_ckpt", type=str, default=None,
+                   help="sd-vae safetensors; random weights if omitted")
+    return p.parse_args()
+
+
+def build_model(args, dtype):
+    from hivae_tpu.models import amd
+
+    if args.amd_config:
+        with open(args.amd_config) as f:
+            cfg = amd.AMDConfig.from_dict(json.load(f))
+        cls = amd.AMDModelNew if args.model_type == "AMD_N" else amd.AMDModel
+        return cls(cfg=cfg, dtype=dtype)
+    kw = dict(video_frames=args.video_frames,
+              image_height=args.image_height, image_width=args.image_width,
+              use_filter=args.use_filter, use_grey=args.use_grey,
+              use_camera=args.use_camera, use_object=args.use_object,
+              use_camera_down=args.use_camera_down,
+              use_regularizers=args.use_regularizers,
+              motion_type=args.motion_type,
+              diffusion_model_type=args.diffusion_model_type,
+              object_motion_token_num=args.object_motion_token_num,
+              object_motion_token_channel=args.object_motion_token_channel,
+              camera_motion_token_num=args.camera_motion_token_num,
+              camera_motion_token_channel=args.camera_motion_token_channel,
+              motion_token_num=args.motion_token_num,
+              motion_token_channel=args.motion_token_channel)
+    return amd.AMD_MODELS[args.model_type](dtype=dtype, **kw)
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tensorboardX import SummaryWriter
+
+    from hivae_tpu.data.datasets import DataLoader, RandomPairDataset, \
+        VideoClipDataset
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.training import checkpoint as ckpt_lib
+    from hivae_tpu.training.trainer import AMDTrainer, TrainConfig
+
+    dtype = jnp.bfloat16 if args.mp in ("bf16", "fp16") else jnp.float32
+    out_dir = os.path.join(args.output_dir, args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # model + vae
+    model = build_model(args, dtype)
+    key = jax.random.PRNGKey(args.seed)
+    lat = args.image_height
+    dummy = jnp.zeros((1, args.video_frames, 4, lat, lat))
+    init_kw = {}
+    if getattr(model.cfg, "use_grey", False):
+        init_kw = dict(video_grey=dummy, ref_img_grey=dummy)
+    params = model.init({"params": key, "noise": key}, dummy, dummy, **init_kw)
+    if args.pretrain_path:
+        params, report = ckpt_lib.load_pretrain_partial(params,
+                                                        args.pretrain_path)
+        print(f"loaded pretrain: {len(report['missing'])} missing keys")
+    ckpt_lib.save_config(model.cfg.to_dict(), out_dir)
+
+    vae = vae_mod.AutoencoderKL(dtype=dtype)
+    vae_params = vae.init(key, jnp.zeros((1, 3, args.sample_size,
+                                          args.sample_size)))
+    if args.vae_ckpt:
+        from hivae_tpu.utils.torch_convert import (convert_torch_state,
+                                                   load_safetensors,
+                                                   normalize_vae_keys)
+        state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
+        vae_params, _ = convert_torch_state(vae_params, state, strict=False)
+
+    # data
+    ds_cls = {"AMDConsecutiveVideo": VideoClipDataset,
+              "AMDRandomPair": RandomPairDataset}[args.dataset]
+    dataset = ds_cls(args.video_dir, sample_n_frames=args.video_frames,
+                     sample_size=args.sample_size, target_fps=args.sample_fps,
+                     use_grey=getattr(model.cfg, "use_grey", False),
+                     seed=args.seed)
+    loader = DataLoader(dataset, args.train_batch_size,
+                        num_workers=args.dataloader_num_workers,
+                        seed=args.seed, shard_id=jax.process_index(),
+                        num_shards=jax.process_count())
+
+    mesh_shape = tuple(int(x) for x in args.mesh.split(",")) if args.mesh \
+        else None
+    config = TrainConfig(
+        output_dir=out_dir, learning_rate=args.learning_rate,
+        warmup_steps=args.lr_warmup_steps, lr_schedule=args.lr_scheduler,
+        weight_decay=args.adam_weight_decay,
+        max_grad_norm=args.max_grad_norm, max_steps=args.max_train_steps,
+        save_every=args.save_checkpoint_interval_step,
+        eval_every=args.eval_interval_step,
+        checkpoint_total_limit=args.checkpoint_total_limit, seed=args.seed,
+        mesh_shape=mesh_shape, resume=args.resume_training,
+        camera_mask_ratio=args.camera_mask_ratio,
+        object_mask_ratio=args.object_mask_ratio)
+
+    tb = SummaryWriter(os.path.join(out_dir, "tracker")) \
+        if jax.process_index() == 0 else None
+    trainer = AMDTrainer(model, params, vae, vae_params, config, tb_writer=tb)
+
+    def batch_stream():
+        while True:
+            for batch in loader:
+                yield batch
+
+    metrics = trainer.fit(batch_stream())
+    trainer.save()
+    print("final metrics:", metrics)
+
+
+if __name__ == "__main__":
+    main()
