@@ -542,6 +542,68 @@ class AMDModel(nn.Module):
         return pre, vel, loss_dict
 
 
+class AMDModelRec(nn.Module):
+    """Non-diffusion reconstruction model (reference
+    ``AMDModel_Rec:2840-3124``): dual spatial motion encoders, a learnable
+    ``zt_token`` standing in for the noised target, and a timestep-free
+    reconstruction transformer regressing zj directly."""
+
+    cfg: AMDConfig
+    is_split: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        from .dit import ReconstructionDiT, ReconstructionDiTSplit
+
+        c = self.cfg
+        enc_kw = dict(img_height=c.image_height, img_width=c.image_width,
+                      img_inchannel=c.image_inchannel,
+                      img_patch_size=c.image_patch_size,
+                      motion_token_num=c.motion_token_num,
+                      motion_channel=c.motion_token_channel,
+                      need_norm_out=True, heads=c.enc_nhead,
+                      head_dim=c.enc_ndim,
+                      num_layers=c.object_enc_num_layers, dtype=self.dtype)
+        self.object_motion_encoder = MotionEncoderSpatial(**enc_kw)
+        self.camera_motion_encoder = MotionEncoderSpatial(**enc_kw)
+        self.zt_token = self.param(
+            "zt_token", lambda k: 0.02 * jax.random.normal(
+                k, (1, c.image_inchannel, c.image_height, c.image_width)))
+        dit_cls = ReconstructionDiTSplit if self.is_split else ReconstructionDiT
+        self.transformer = dit_cls(
+            heads=c.diffusion_attn_num_heads,
+            head_dim=c.diffusion_attn_head_dim,
+            out_channels=c.diffusion_out_channels,
+            num_layers=c.diffusion_num_layers,
+            image_height=c.image_height, image_width=c.image_width,
+            image_patch_size=c.image_patch_size,
+            image_in_channels=c.image_inchannel * 2,
+            motion_token_num=c.motion_token_num,
+            motion_in_channels=c.motion_token_channel, dtype=self.dtype)
+
+    def __call__(self, video, ref_img):
+        c = self.cfg
+        n, t = video.shape[:2]
+        refimg_and_video = jnp.concatenate([ref_img, video], axis=1)
+
+        def flat(m):
+            return m.reshape((n * t,) + m.shape[2:])
+
+        obj = self.object_motion_encoder(refimg_and_video)
+        cam = self.camera_motion_encoder(refimg_and_video)
+        source_motion = flat(obj[:, :t]) + flat(cam[:, :t])
+        target_motion = flat(obj[:, t:]) + flat(cam[:, t:])
+
+        zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+        zj = video.reshape((n * t,) + video.shape[2:])
+        zt = jnp.broadcast_to(self.zt_token.astype(zj.dtype), zj.shape)
+
+        image_hidden = jnp.concatenate([zi, zt], axis=1)
+        pre = self.transformer(source_motion, target_motion, image_hidden)
+        rec_loss = l2(pre, zj)
+        return pre, {"loss": rec_loss, "rec_loss": rec_loss}
+
+
 # -----------------------------------------------------------------------------
 # Pure sampling drivers (lax.scan Euler loops over bound params)
 # -----------------------------------------------------------------------------
@@ -713,8 +775,27 @@ def AMD_L(dtype=jnp.float32, **kw) -> AMDModel:
                              diffusion_num_layers=16, **kw), dtype=dtype)
 
 
+def AMD_S_Rec(dtype=jnp.float32, **kw) -> AMDModelRec:
+    return AMDModelRec(cfg=_cfg(enc_nhead=8, enc_ndim=64,
+                                diffusion_attn_head_dim=64,
+                                diffusion_attn_num_heads=16,
+                                diffusion_out_channels=4,
+                                diffusion_num_layers=12, **kw), dtype=dtype)
+
+
+def AMD_S_RecSplit(dtype=jnp.float32, **kw) -> AMDModelRec:
+    return AMDModelRec(cfg=_cfg(enc_nhead=8, enc_ndim=64,
+                                diffusion_attn_head_dim=64,
+                                diffusion_attn_num_heads=16,
+                                diffusion_out_channels=4,
+                                diffusion_num_layers=12, **kw),
+                       is_split=True, dtype=dtype)
+
+
 AMD_MODELS = {
     "AMD_S": AMD_S,  # ~250M
     "AMD_N": AMD_N,
     "AMD_L": AMD_L,  # ~700M
+    "AMD_S_Rec": AMD_S_Rec,
+    "AMD_S_RecSplit": AMD_S_RecSplit,
 }

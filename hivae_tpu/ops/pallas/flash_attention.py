@@ -80,5 +80,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
+        interpret=jax.default_backend() == "cpu",
     )(qf, kf, vf)
     return out.reshape(b, h, sq, d)
