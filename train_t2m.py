@@ -1,0 +1,151 @@
+"""Label→motion trainer CLI — parity with the reference ``train_t2m.py``:
+a frozen AMD model extracts camera/object motion; the label-conditioned
+decoder trains to denoise object motion."""
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", type=str, default="exp/t2m")
+    p.add_argument("--exp_name", type=str, default="t2m")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mp", type=str, default="bf16")
+    p.add_argument("--max_train_steps", type=int, default=100_000)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--save_checkpoint_interval_step", type=int, default=2000)
+    p.add_argument("--t2m_config", type=str, default=None,
+                   help="json T2MConfig overrides")
+    p.add_argument("--amd_config", type=str, required=True)
+    p.add_argument("--amd_ckpt", type=str, required=True)
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--model_type", type=str, default="AMD_N")
+    p.add_argument("--video_dir", type=str, required=True,
+                   help="class-labeled video tree (UCF-101 layout)")
+    p.add_argument("--video_frames", type=int, default=16)
+    p.add_argument("--sample_size", type=int, default=256)
+    p.add_argument("--dataloader_num_workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from amd_inference import load_amd
+    from hivae_tpu.data.datasets import DataLoader, LabelVideoDataset
+    from hivae_tpu.models import t2m as t2m_mod
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.parallel import batch_sharding, create_mesh
+    from hivae_tpu.training import checkpoint as ckpt_lib
+    from hivae_tpu.training.train_state import (TrainState, make_optimizer,
+                                                shard_train_step)
+
+    dtype = jnp.bfloat16 if args.mp in ("bf16", "fp16") else jnp.float32
+    out_dir = os.path.join(args.output_dir, args.exp_name)
+    key = jax.random.PRNGKey(args.seed)
+
+    amd_model, amd_params = load_amd(args, dtype)
+    vae = vae_mod.AutoencoderKL(dtype=dtype)
+    vae_params = vae.init(key, jnp.zeros((1, 3, args.sample_size,
+                                          args.sample_size)))
+    if args.vae_ckpt:
+        from hivae_tpu.utils.torch_convert import (convert_torch_state,
+                                                   load_safetensors,
+                                                   normalize_vae_keys)
+        state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
+        vae_params, _ = convert_torch_state(vae_params, state, strict=False)
+
+    overrides = {}
+    if args.t2m_config:
+        with open(args.t2m_config) as f:
+            overrides = json.load(f)
+    cfg = t2m_mod.T2MConfig.from_dict({"num_frames": args.video_frames,
+                                       **overrides})
+    model = t2m_mod.Label2MotionDiffusionDecoder(cfg=cfg, dtype=dtype)
+
+    n, t = 1, args.video_frames
+    cam = jnp.zeros((n, t, cfg.camera_token_num, cfg.camera_channel))
+    obj = jnp.zeros((n * t, cfg.object_token_num, cfg.object_channel))
+    label = jnp.zeros((n,), jnp.int32)
+    ref = jnp.zeros((n, t, cfg.refimg_dim, cfg.refimg_height,
+                     cfg.refimg_width))
+    ts = jnp.zeros((n,))
+    params = model.init({"params": key, "noise": key}, cam, obj, label, ref, ts)
+    ckpt_lib.save_config(cfg.to_dict(), out_dir)
+
+    dataset = LabelVideoDataset(args.video_dir,
+                                sample_n_frames=args.video_frames,
+                                sample_size=args.sample_size, use_grey=True)
+    loader = DataLoader(dataset, args.train_batch_size,
+                        num_workers=args.dataloader_num_workers,
+                        shard_id=jax.process_index(),
+                        num_shards=jax.process_count())
+
+    mesh = create_mesh()
+    tx = make_optimizer(args.learning_rate, args.lr_warmup_steps,
+                        args.max_train_steps)
+    state = TrainState.create(params, tx)
+
+    def train_step(state, batch, rng):
+        import optax
+
+        rng = jax.random.fold_in(rng, state.step)
+        kv, kt, kn = jax.random.split(rng, 3)
+        video_z = vae_mod.vae_encode(vae, vae_params, batch["videos"], kv)
+        ref_z = vae_mod.vae_encode(vae, vae_params, batch["ref_img"], kv)
+        grey_z = vae_mod.vae_encode(vae, vae_params, batch["grey_videos"], kv)
+        ref_grey_z = vae_mod.vae_encode(vae, vae_params,
+                                        batch["ref_grey_img"], kv)
+        cam_t, obj_s, obj_t = amd_model.apply(
+            amd_params, video_z, ref_z, grey_z, ref_grey_z, method="encode")
+        n = video_z.shape[0]
+        timestep = jax.random.randint(kt, (n,), 0, cfg.num_steps + 1)
+        # camera tokens reduced to the configured token budget
+        cam_small = cam_t[:, :, :cfg.camera_token_num, :cfg.camera_channel]
+        obj_small = obj_t[:, :cfg.object_token_num, :cfg.object_channel]
+
+        def loss_fn(params):
+            out = model.apply(params, cam_small, obj_small, batch["label"],
+                              ref_z, timestep.astype(jnp.float32),
+                              rngs={"noise": kn})
+            loss = model.apply(params, out, method="loss")
+            return loss, {"loss": loss}
+
+        (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = dict(ld)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    ckpt = ckpt_lib.CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    with mesh:
+        step_fn, shardings = shard_train_step(train_step, mesh, state)
+        state = jax.device_put(state, shardings)
+        b_shard = batch_sharding(mesh)
+        step = 0
+        while step < args.max_train_steps:
+            for batch in loader:
+                if step >= args.max_train_steps:
+                    break
+                db = {k: jax.device_put(jnp.asarray(v), b_shard)
+                      for k, v in batch.items() if not isinstance(v, list)}
+                state, metrics = step_fn(state, db, key)
+                step += 1
+                if step % 50 == 0:
+                    print(f"step {step}: loss={float(metrics['loss']):.4f}")
+                if step % args.save_checkpoint_interval_step == 0:
+                    ckpt.save(step, jax.device_get(state))
+    ckpt.save(step, jax.device_get(state))
+
+
+if __name__ == "__main__":
+    main()
