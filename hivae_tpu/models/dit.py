@@ -69,11 +69,17 @@ class _DiTBase(nn.Module):
     motion_token_num: int = 12
     motion_in_channels: int = 128
     time_embed_dim: int = 512
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
     def hidden_dim(self):
         return self.heads * self.head_dim
+
+    def _blk(self, cls):
+        """Optionally wrap a block class in nn.remat (activation
+        checkpointing; reference gradient_checkpointing plumbing)."""
+        return nn.remat(cls) if self.remat else cls
 
     def _time_emb(self, timestep):
         return TimestepEmbedding(self.hidden_dim, self.time_embed_dim,
@@ -125,7 +131,7 @@ class VelocityDiT(_DiTBase):
                        (1, 1, hidden)).astype(self.dtype), (n, 1, hidden))
         mpos = _pos1d(hidden, msl, self.dtype)
 
-        blocks = [JointTransformerBlock(hidden, self.heads, self.head_dim,
+        blocks = [self._blk(JointTransformerBlock)(hidden, self.heads, self.head_dim,
                                         name=f"blocks_{i}", dtype=self.dtype)
                   for i in range(self.num_layers)]
 
@@ -213,7 +219,7 @@ class VelocityDiTTempMotion(_DiTBase):
         motion = motion + _pos1d(hidden, msl, self.dtype)
 
         for i in range(self.num_layers):
-            motion, img = JointTransformerBlock(
+            motion, img = self._blk(JointTransformerBlock)(
                 hidden, self.heads, self.head_dim,
                 name=f"object_blocks_{i}", dtype=self.dtype)(motion, img, emb)
         return self._head(img, emb, hi, wi)
@@ -281,17 +287,17 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
 
         for i in range(self.num_layers):
             if motion is not None:
-                motion, img = JointTransformerBlock(
+                motion, img = self._blk(JointTransformerBlock)(
                     hidden, self.heads, self.head_dim,
                     name=f"object_blocks_{i}", dtype=self.dtype)(motion, img, emb)
             if cam is not None:
-                cam, img = JointTransformerBlock(
+                cam, img = self._blk(JointTransformerBlock)(
                     hidden, self.heads, self.head_dim,
                     name=f"camera_blocks_{i}", dtype=self.dtype)(cam, img, emb)
             # spatial block over per-pixel temporal tubes
             img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
                 n * s, t, hidden)
-            img = DiTBlock(hidden, self.heads, self.head_dim,
+            img = self._blk(DiTBlock)(hidden, self.heads, self.head_dim,
                            name=f"spatial_blocks_{i}", dtype=self.dtype)(img, emb_s)
             img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
                 n_t, s, hidden)
@@ -346,11 +352,11 @@ class VelocityDiTImgSpatial(_DiTBase):
         mpos = _pos1d(hidden, msl, self.dtype)
 
         def joint(i):
-            return JointTransformerBlock(hidden, self.heads, self.head_dim,
+            return self._blk(JointTransformerBlock)(hidden, self.heads, self.head_dim,
                                          name=f"blocks_{i}", dtype=self.dtype)
 
         def spatial(i):
-            return DiTBlock(hidden, self.heads, self.head_dim,
+            return self._blk(DiTBlock)(hidden, self.heads, self.head_dim,
                             name=f"spatial_blocks_{i}", dtype=self.dtype)
 
         def run_layer(i, motion, img):
@@ -441,7 +447,7 @@ class VelocityDiTDualStream(_DiTBase):
                                          name=f"motion_blocks_{i}",
                                          dtype=self.dtype)(motion, emb_m)
             motion = motion.reshape(n_t, msl, hidden)
-            motion, img = JointTransformerBlock(hidden, self.heads,
+            motion, img = self._blk(JointTransformerBlock)(hidden, self.heads,
                                                 self.head_dim,
                                                 name=f"blocks_{i}",
                                                 dtype=self.dtype)(motion, img, emb)
@@ -558,7 +564,7 @@ class VelocityDiTSplitInput(_DiTBase):
         img = img + pos3d[:, :isl]
 
         for i in range(self.num_layers):
-            motion, img = JointTransformerBlock(hidden, self.heads,
+            motion, img = self._blk(JointTransformerBlock)(hidden, self.heads,
                                                 self.head_dim,
                                                 name=f"blocks_{i}",
                                                 dtype=self.dtype)(motion, img, emb)

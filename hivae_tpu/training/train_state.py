@@ -46,9 +46,12 @@ def make_optimizer(learning_rate: float = 1e-4,
                    schedule: str = "constant",
                    weight_decay: float = 1e-2,
                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+                   max_grad_norm: float = 1.0,
+                   accumulate_steps: int = 1) -> optax.GradientTransformation:
     """AdamW + diffusers-style LR schedule + global-norm clipping
-    (reference ``train_amd.py:255-261,490-492``)."""
+    (reference ``train_amd.py:255-261,490-492``). ``accumulate_steps`` > 1
+    wraps the chain in optax.MultiSteps (reference
+    ``--gradient_accumulation_steps``)."""
     if schedule == "constant":
         sched = optax.join_schedules(
             [optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
@@ -58,11 +61,14 @@ def make_optimizer(learning_rate: float = 1e-4,
             0.0, learning_rate, warmup_steps, total_steps or 10 ** 6)
     else:
         raise ValueError(schedule)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(sched, b1=b1, b2=b2, eps=eps,
                     weight_decay=weight_decay),
     )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 def make_train_step(
