@@ -108,6 +108,9 @@ class AMDConfig:
     image_patch_size: int = 2
     motion_patch_size: int = 1
     extract_motion_with_motion_transformer: bool = False
+    # TPU-side option: activation-checkpoint the DiT blocks (the reference's
+    # gradient_checkpointing switch)
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "AMDConfig":
@@ -196,7 +199,7 @@ class AMDModelNew(nn.Module):
                       image_in_channels=c.image_inchannel * 2,
                       motion_token_num=c.motion_token_num,
                       motion_target_num_frame=c.video_frames,
-                      dtype=self.dtype)
+                      remat=c.remat, dtype=self.dtype)
         if c.diffusion_model_type == "default":
             self.diffusion_transformer = VelocityDiTTempMotion(
                 object_motion_in_channels=c.object_motion_token_channel,
@@ -406,7 +409,7 @@ class AMDModel(nn.Module):
                       image_in_channels=c.image_inchannel * 2,
                       motion_token_num=c.motion_token_num,
                       motion_in_channels=c.motion_token_channel,
-                      dtype=self.dtype)
+                      remat=c.remat, dtype=self.dtype)
         if c.diffusion_model_type == "default":
             self.diffusion_transformer = VelocityDiT(
                 motion_type=c.motion_type, **dit_kw)
