@@ -21,6 +21,9 @@ RES = 256
 
 
 def main():
+    from hivae_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from hivae_tpu.models import vae as vae_mod
 
     dtype = jnp.bfloat16

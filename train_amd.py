@@ -104,6 +104,9 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from hivae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from tensorboardX import SummaryWriter
 
     from hivae_tpu.data.datasets import DataLoader, RandomPairDataset, \
