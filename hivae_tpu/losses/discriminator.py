@@ -42,14 +42,14 @@ class NLayerDiscriminator(nn.Module):
             x = nn.Conv(self.ndf * nf, (4, 4), strides=2, padding=1,
                         use_bias=False, name=f"conv_{n}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             name=f"norm_{n}", dtype=self.dtype)(x)
+                             name=f"norm_{n}")(x)
             x = _lrelu(x)
         nf = min(2 ** self.n_layers, 8)
         x = nn.Conv(self.ndf * nf, (4, 4), strides=1, padding=1,
                     use_bias=False, name=f"conv_{self.n_layers}",
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         name=f"norm_{self.n_layers}", dtype=self.dtype)(x)
+                         name=f"norm_{self.n_layers}")(x)
         x = _lrelu(x)
         x = nn.Conv(1, (4, 4), strides=1, padding=1, name="conv_out",
                     dtype=self.dtype)(x)
@@ -74,14 +74,14 @@ class NLayerDiscriminator3D(nn.Module):
             x = nn.Conv(self.ndf * nf, (4, 4, 4), strides=2, padding=1,
                         use_bias=False, name=f"conv_{n}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             name=f"norm_{n}", dtype=self.dtype)(x)
+                             name=f"norm_{n}")(x)
             x = _lrelu(x)
         nf = min(2 ** self.n_layers, 8)
         x = nn.Conv(self.ndf * nf, (4, 4, 4), strides=1, padding=1,
                     use_bias=False, name=f"conv_{self.n_layers}",
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         name=f"norm_{self.n_layers}", dtype=self.dtype)(x)
+                         name=f"norm_{self.n_layers}")(x)
         x = _lrelu(x)
         x = nn.Conv(1, (4, 4, 4), strides=1, padding=1, name="conv_out",
                     dtype=self.dtype)(x)
@@ -110,14 +110,14 @@ class Discriminator3DConv(nn.Module):
             x = nn.Conv(self.ndf * nf, (3, 3, 3), strides=2, padding=1,
                         use_bias=False, name=f"conv_{n}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             name=f"norm_{n}", dtype=self.dtype)(x)
+                             name=f"norm_{n}")(x)
             x = _lrelu(x)
         nf = min(2 ** self.n_layers, 4)
         x = nn.Conv(self.ndf * nf, (3, 3, 3), strides=1, padding=1,
                     use_bias=False, name=f"conv_{self.n_layers}",
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         name=f"norm_{self.n_layers}", dtype=self.dtype)(x)
+                         name=f"norm_{self.n_layers}")(x)
         x = _lrelu(x)
         x = jnp.mean(x, axis=(1, 2, 3))  # adaptive avg pool
         x = nn.Dense(self.mlp_hidden_dim, name="mlp_fc1", dtype=self.dtype)(x)
@@ -147,14 +147,14 @@ class Discriminator2DConv(nn.Module):
             x = nn.Conv(self.ndf * nf, (3, 3), strides=2, padding=1,
                         use_bias=False, name=f"conv_{n}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             name=f"norm_{n}", dtype=self.dtype)(x)
+                             name=f"norm_{n}")(x)
             x = _lrelu(x)
         nf = min(2 ** self.n_layers, 4)
         x = nn.Conv(self.ndf * nf, (3, 3), strides=1, padding=1,
                     use_bias=False, name=f"conv_{self.n_layers}",
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         name=f"norm_{self.n_layers}", dtype=self.dtype)(x)
+                         name=f"norm_{self.n_layers}")(x)
         x = _lrelu(x)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.mlp_hidden_dim, name="mlp_fc1", dtype=self.dtype)(x)
@@ -189,14 +189,14 @@ class Discriminator2DConvVel(nn.Module):
             x = nn.Conv(self.ndf * nf, (3, 3), strides=2, padding=1,
                         use_bias=False, name=f"conv_{n}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             name=f"norm_{n}", dtype=self.dtype)(x)
+                             name=f"norm_{n}")(x)
             x = _lrelu(x)
         nf = min(2 ** self.n_layers, 4)
         x = nn.Conv(self.ndf * nf, (3, 3), strides=1, padding=1,
                     use_bias=False, name=f"conv_{self.n_layers}",
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         name=f"norm_{self.n_layers}", dtype=self.dtype)(x)
+                         name=f"norm_{self.n_layers}")(x)
         x = _lrelu(x)
         hidden = self.ndf * nf
         x = jnp.mean(x, axis=(1, 2))
@@ -249,7 +249,7 @@ class Discriminator2DAttn(nn.Module):
         for i in range(self.num_layers):
             x = DiTBlock(hidden, self.heads, self.head_dim,
                          name=f"blocks_{i}", dtype=self.dtype)(x, emb)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
         x = AdaLayerNorm(hidden, name="norm_out", dtype=self.dtype)(x, emb)
         x = x.reshape(n, -1)
         x = Mlp(self.mlp_hidden_dim, 1, name="mlp", dtype=self.dtype)(x)[:, 0]

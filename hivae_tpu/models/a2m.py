@@ -114,8 +114,7 @@ class A2MTransformerCrossAttnAudio(nn.Module):
                     name=f"pose_blocks_{i}", dtype=self.dtype)(
                     motion, ref, pose_tok, emb)
 
-        motion = nn.LayerNorm(epsilon=1e-5, name="norm_final",
-                              dtype=self.dtype)(motion)
+        motion = nn.LayerNorm(epsilon=1e-5, name="norm_final")(motion)
         motion = AdaLayerNorm(hidden, name="norm_out",
                               dtype=self.dtype)(motion, emb)
         motion = nn.Dense(self.out_channels, name="proj_out",
@@ -169,8 +168,7 @@ class A2MJointTransformer(nn.Module):
                                            dtype=self.dtype)(motion, ref,
                                                              extra, emb)
 
-        motion = nn.LayerNorm(epsilon=1e-5, name="norm_final",
-                              dtype=self.dtype)(motion)
+        motion = nn.LayerNorm(epsilon=1e-5, name="norm_final")(motion)
         motion = AdaLayerNorm(hidden, name="norm_out",
                               dtype=self.dtype)(motion, emb)
         motion = nn.Dense(self.out_channels, name="proj_out",
@@ -219,8 +217,7 @@ class A2PTransformer(nn.Module):
                 hidden, self.heads, self.head_dim,
                 name=f"audio_blocks_{i}", dtype=self.dtype)(pose, audio)
 
-        pose = nn.LayerNorm(epsilon=1e-5, name="norm_final",
-                            dtype=self.dtype)(pose)
+        pose = nn.LayerNorm(epsilon=1e-5, name="norm_final")(pose)
         pose = nn.Dense(p * p * self.pose_inchannel, name="proj_out",
                         dtype=self.dtype)(pose)
         out = unpatchify(pose.reshape(n * f, itl, -1), h, w, p,

@@ -69,8 +69,10 @@ class Attention(nn.Module):
         k = _split_heads(dense("to_k")(ctx), self.heads)
         v = _split_heads(dense("to_v")(ctx), self.heads)
         if self.qk_norm:
-            q = nn.LayerNorm(epsilon=self.eps, name="norm_q", dtype=self.dtype)(q)
-            k = nn.LayerNorm(epsilon=self.eps, name="norm_k", dtype=self.dtype)(k)
+            # norms run fp32 (AMP semantics); cast back so the attention
+            # matmuls stay in the compute dtype (bf16 on the MXU)
+            q = nn.LayerNorm(epsilon=self.eps, name="norm_q")(q).astype(self.dtype)
+            k = nn.LayerNorm(epsilon=self.eps, name="norm_k")(k).astype(self.dtype)
         out = attn_ops.sdpa(q, k, v)
         out = _merge_heads(out)
         return nn.Dense(self.dim, use_bias=self.out_bias, name="to_out",
@@ -155,7 +157,7 @@ class AdaLNZero(nn.Module):
         mods = nn.Dense(6 * self.embed_dim, name="linear",
                         dtype=self.dtype)(nn.silu(temb))
         shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(mods, 6, axis=-1)
-        norm = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         hidden = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
         encoder = norm(encoder) * (1 + e_scale[:, None]) + e_shift[:, None]
         return hidden, encoder, gate[:, None], e_gate[:, None]
@@ -173,7 +175,7 @@ class AdaLNZeroSingle(nn.Module):
         mods = nn.Dense(3 * self.embed_dim, name="linear",
                         dtype=self.dtype)(nn.silu(temb))
         shift, scale, gate = jnp.split(mods, 3, axis=-1)
-        norm = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         hidden = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
         return hidden, gate[:, None]
 
@@ -191,7 +193,7 @@ class AdaLNZeroTriple(nn.Module):
                         dtype=self.dtype)(nn.silu(temb))
         (shift, scale, gate, c1_shift, c1_scale, c1_gate,
          c2_shift, c2_scale, c2_gate) = jnp.split(mods, 9, axis=-1)
-        norm = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         hidden = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
         cond1 = norm(cond1) * (1 + c1_scale[:, None]) + c1_shift[:, None]
         cond2 = norm(cond2) * (1 + c2_scale[:, None]) + c2_shift[:, None]
@@ -211,7 +213,7 @@ class AdaLayerNorm(nn.Module):
         mods = nn.Dense(2 * self.embed_dim, name="linear",
                         dtype=self.dtype)(nn.silu(temb))
         shift, scale = jnp.split(mods, 2, axis=-1)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x * (1 + scale[:, None]) + shift[:, None]
 
 
@@ -231,11 +233,11 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + Attention(self.dim, self.heads, self.head_dim,
                           qkv_bias=self.qkv_bias, name="attn1",
                           dtype=self.dtype)(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x + FeedForward(self.dim, name="ff", dtype=self.dtype)(h)
 
 
@@ -251,11 +253,11 @@ class BasicCrossTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + Attention(self.dim, self.heads, self.head_dim,
                           qkv_bias=self.qkv_bias, name="attn1",
                           dtype=self.dtype)(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x + FeedForward(self.dim, name="ff", dtype=self.dtype)(h)
 
 
@@ -332,7 +334,7 @@ class MotionTemporalBlock(nn.Module):
         if self.use_adaln:
             h, gate = AdaLNZeroSingle(self.dim, name="norm1", dtype=self.dtype)(x, temb)
         else:
-            h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
             gate = 1.0
         x = x + gate * Attention(self.dim, self.heads, self.head_dim,
                                  qkv_bias=self.qkv_bias, name="attn1",
@@ -340,7 +342,7 @@ class MotionTemporalBlock(nn.Module):
         if self.use_adaln:
             h, gate = AdaLNZeroSingle(self.dim, name="norm2", dtype=self.dtype)(x, temb)
         else:
-            h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
             gate = 1.0
         return x + gate * FeedForward(self.dim, name="ff", dtype=self.dtype)(h)
 
@@ -396,8 +398,8 @@ class JointBlock2ConditionSimple(nn.Module):
     def __call__(self, hidden, cond1, cond2, temb):
         hl, c1l = hidden.shape[1], cond1.shape[1]
         h, gate = AdaLNZeroSingle(self.dim, name="norm1", dtype=self.dtype)(hidden, temb)
-        c1 = nn.LayerNorm(epsilon=1e-5, name="norm1_condition1", dtype=self.dtype)(cond1)
-        c2 = nn.LayerNorm(epsilon=1e-5, name="norm1_condition2", dtype=self.dtype)(cond2)
+        c1 = nn.LayerNorm(epsilon=1e-5, name="norm1_condition1")(cond1)
+        c2 = nn.LayerNorm(epsilon=1e-5, name="norm1_condition2")(cond2)
         joint = jnp.concatenate([h, c1, c2], axis=1)
         out = Attention(self.dim, self.heads, self.head_dim,
                         qkv_bias=self.qkv_bias, name="attn1",
@@ -407,8 +409,8 @@ class JointBlock2ConditionSimple(nn.Module):
         cond2 = cond2 + out[:, hl + c1l:]
 
         h, gate = AdaLNZeroSingle(self.dim, name="norm2", dtype=self.dtype)(hidden, temb)
-        c1 = nn.LayerNorm(epsilon=1e-5, name="norm2_condition1", dtype=self.dtype)(cond1)
-        c2 = nn.LayerNorm(epsilon=1e-5, name="norm2_condition2", dtype=self.dtype)(cond2)
+        c1 = nn.LayerNorm(epsilon=1e-5, name="norm2_condition1")(cond1)
+        c2 = nn.LayerNorm(epsilon=1e-5, name="norm2_condition2")(cond2)
         joint = jnp.concatenate([h, c1, c2], axis=1)
         out = FeedForward(self.dim, name="ff", dtype=self.dtype)(joint)
         hidden = hidden + gate * out[:, :hl]
@@ -605,16 +607,16 @@ class A2PTemporalSpatialBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         n, f, l, d = x.shape
         xt = x.transpose(0, 2, 1, 3).reshape(n * l, f, d)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(xt)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(xt)
         xt = xt + Attention(self.dim, self.heads, self.head_dim,
                             qkv_bias=self.qkv_bias, name="attn1",
                             dtype=self.dtype)(h)
         xs = xt.reshape(n, l, f, d).transpose(0, 2, 1, 3).reshape(n * f, l, d)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(xs)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(xs)
         xs = xs + Attention(self.dim, self.heads, self.head_dim,
                             qkv_bias=self.qkv_bias, name="attn2",
                             dtype=self.dtype)(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=self.dtype)(xs)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(xs)
         xs = xs + FeedForward(self.dim, name="ff", dtype=self.dtype)(h)
         return xs.reshape(n, f, l, d)
 
@@ -634,11 +636,11 @@ class A2PCrossAudioBlock(nn.Module):
         n, f, l, d = x.shape
         xf = x.reshape(n * f, l, d)
         af = audio.reshape(n * f, audio.shape[2], d)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(xf)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(xf)
         xf = xf + Attention(self.dim, self.heads, self.head_dim,
                             qkv_bias=self.qkv_bias, name="attn1",
                             dtype=self.dtype)(h, af)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(xf)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(xf)
         xf = xf + FeedForward(self.dim, name="ff", dtype=self.dtype)(h)
         return xf.reshape(n, f, l, d)
 
@@ -710,4 +712,4 @@ class AudioFeatureWindowMlp(nn.Module):
         x = nn.relu(nn.Dense(self.window_size * self.outdim, name="ff3",
                              dtype=self.dtype)(x))
         x = x.reshape(n, f, self.window_size, self.outdim)
-        return nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)

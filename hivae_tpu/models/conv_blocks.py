@@ -36,12 +36,12 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:  # NHWC
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm1", dtype=self.dtype)(x)
+                         name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1",
                     dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm2", dtype=self.dtype)(h)
+                         name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2",
                     dtype=self.dtype)(h)
@@ -98,7 +98,7 @@ class AttentionBlock2D(nn.Module):
         n, h, w, c = x.shape
         res = x
         y = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="group_norm", dtype=self.dtype)(x)
+                         name="group_norm")(x)
         y = y.reshape(n, h * w, c)
         q = nn.Dense(c, name="to_q", dtype=self.dtype)(y)
         k = nn.Dense(c, name="to_k", dtype=self.dtype)(y)
@@ -208,7 +208,7 @@ class DownEncoder(nn.Module):
                            add_attention=self.add_attention,
                            name="mid_block", dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6,
-                         name="conv_norm_out", dtype=self.dtype)(x)
+                         name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(self.block_out_channels[-1], (3, 3), padding=1,
                     name="conv_out", dtype=self.dtype)(x)
@@ -241,7 +241,7 @@ class Upsampler(nn.Module):
                 add_upsample=i != len(self.block_out_channels) - 1,
                 name=f"upblock_{i}", dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6,
-                         name="conv_norm_out", dtype=self.dtype)(x)
+                         name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(self.block_out_channels[-1], (3, 3), padding=1,
                     name="conv_out", dtype=self.dtype)(x)

@@ -87,7 +87,7 @@ class _DiTBase(nn.Module):
                                  dtype=self.dtype)(timestep)
 
     def _head(self, img_tokens, emb, height, width):
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(img_tokens)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(img_tokens)
         x = AdaLayerNorm(self.hidden_dim, name="norm_out", dtype=self.dtype)(x, emb)
         x = nn.Dense(self.image_patch_size ** 2 * self.out_channels,
                      name="proj_out", dtype=self.dtype)(x)
@@ -488,7 +488,7 @@ class ReconstructionDiT(_DiTBase):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(hidden, self.heads, self.head_dim,
                                       name=f"blocks_{i}", dtype=self.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(x[:, :isl])
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x[:, :isl])
         x = nn.Dense(self.image_patch_size ** 2 * self.out_channels,
                      name="proj_out", dtype=self.dtype)(x)
         return unpatchify(x, hi, wi, self.image_patch_size, self.out_channels)
@@ -529,7 +529,7 @@ class ReconstructionDiTSplit(_DiTBase):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(hidden, self.heads, self.head_dim,
                                       name=f"blocks_{i}", dtype=self.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(x[:, :isl])
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x[:, :isl])
         x = nn.Dense(self.image_patch_size ** 2 * self.out_channels,
                      name="proj_out", dtype=self.dtype)(x)
         return unpatchify(x, hi, wi, self.image_patch_size, self.out_channels)

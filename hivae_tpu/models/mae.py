@@ -32,10 +32,10 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + Attention(self.dim, self.heads, self.dim // self.heads,
                           qk_norm=False, name="attn", dtype=self.dtype)(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1",
                      dtype=self.dtype)(h)
         h = nn.gelu(h, approximate=False)
@@ -114,7 +114,7 @@ class MaskedAutoencoderViT(nn.Module):
         for i in range(self.depth):
             x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
                          name=f"blocks_{i}", dtype=self.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
         # ---- decoder ----
         x = nn.Dense(self.decoder_embed_dim, name="decoder_embed",
@@ -134,7 +134,7 @@ class MaskedAutoencoderViT(nn.Module):
             x = ViTBlock(self.decoder_embed_dim, self.decoder_num_heads,
                          self.mlp_ratio, name=f"decoder_blocks_{i}",
                          dtype=self.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="decoder_norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="decoder_norm")(x)
         pred = nn.Dense(self.patch_size ** 2 * self.in_chans,
                         name="decoder_pred", dtype=self.dtype)(x)[:, 1:]
 

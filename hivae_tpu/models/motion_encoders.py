@@ -101,12 +101,12 @@ class MotionEncoderSpatial(nn.Module):
                                            dtype=self.dtype)(hstate)
 
         mtok = hstate[:, :self.motion_token_num]
-        mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(mtok)
+        mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final")(mtok)
         mtok = nn.Dense(self.motion_channel, name="proj_out",
                         dtype=self.dtype)(mtok)
         if self.need_norm_out:
             mtok = nn.LayerNorm(epsilon=1e-5, use_scale=False, use_bias=False,
-                                name="norm_out", dtype=self.dtype)(mtok)
+                                name="norm_out")(mtok)
         return mtok.reshape(n, t, self.motion_token_num, self.motion_channel)
 
 
@@ -176,11 +176,11 @@ class MotionEncoderSpatialTemporal(nn.Module):
             hstate = jnp.concatenate([mtok, img], axis=1)
 
         mtok = hstate[:, :ltok]
-        mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(mtok)
+        mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final")(mtok)
         mtok = nn.Dense(self.motion_channel, name="proj_out", dtype=self.dtype)(mtok)
         if self.need_norm_out:
             mtok = nn.LayerNorm(epsilon=1e-5, use_scale=False, use_bias=False,
-                                name="norm_out", dtype=self.dtype)(mtok)
+                                name="norm_out")(mtok)
         return mtok.reshape(n, t, ltok, self.motion_channel)
 
 
@@ -242,11 +242,11 @@ class MotionEncoderTemporalCross(nn.Module):
                                               name=f"blocks_{i}",
                                               dtype=self.dtype)(mtok, kv)
 
-        mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(mtok)
+        mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final")(mtok)
         mtok = nn.Dense(self.motion_channel, name="proj_out", dtype=self.dtype)(mtok)
         if self.need_norm_out:
             mtok = nn.LayerNorm(epsilon=1e-5, use_scale=False, use_bias=False,
-                                name="norm_out", dtype=self.dtype)(mtok)
+                                name="norm_out")(mtok)
         # (n*s, t, c) -> (n, t, s, c)
         return mtok.reshape(n, s, t, self.motion_channel).transpose(0, 2, 1, 3)
 
@@ -274,7 +274,7 @@ class MotionSequenceTransformer(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(hidden, self.heads, self.head_dim,
                                       name=f"blocks_{i}", dtype=self.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
         x = nn.Dense(self.motion_token_channel, name="proj_out",
                      dtype=self.dtype)(x)
         return x.reshape(n, f, l, self.motion_token_channel)

@@ -143,7 +143,7 @@ class Label2MotionDiffusionDecoder(nn.Module):
                              dtype=self.dtype)(joint, emb)
             x = joint[:, :msl]
 
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
         x = nn.Dense(c.motion_dim, name="proj_out", dtype=self.dtype)(x)
 
         if object_source_motion is not None:

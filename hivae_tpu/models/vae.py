@@ -57,7 +57,7 @@ class VAEEncoder(nn.Module):
         x = UNetMidBlock2D(c.block_out_channels[-1], groups=c.norm_num_groups,
                            name="mid_block", dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=c.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out", dtype=self.dtype)(x)
+                         name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                        name="conv_out", dtype=self.dtype)(x)
@@ -82,7 +82,7 @@ class VAEDecoder(nn.Module):
                 add_upsample=i != len(rev) - 1,
                 name=f"up_blocks_{i}", dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=c.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out", dtype=self.dtype)(x)
+                         name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out",
                        dtype=self.dtype)(x)
