@@ -53,9 +53,17 @@ def list_videos(video_dir: str) -> List[Dict[str, str]]:
     else:
         files = glob.glob(os.path.join(video_dir, "**", "*.mp4"),
                           recursive=True)
-    return [{"name": os.path.splitext(os.path.basename(p))[0],
-             "video_path": p if isinstance(p, str) else p["video_path"]}
-            for p in files]
+    out = []
+    for p in files:
+        if isinstance(p, dict):  # pkl entries may carry audio/pose paths
+            entry = dict(p)
+            entry.setdefault("name", os.path.splitext(
+                os.path.basename(entry["video_path"]))[0])
+        else:
+            entry = {"name": os.path.splitext(os.path.basename(p))[0],
+                     "video_path": p}
+        out.append(entry)
+    return out
 
 
 class VideoClipDataset:
@@ -141,9 +149,11 @@ class RandomPairDataset(VideoClipDataset):
 class VideoAudioDataset(VideoClipDataset):
     """Clips + precomputed per-frame audio embeddings (whisper ``.npy``).
 
-    Index entries: {'video_path', 'audio_emb_path'}; embeddings (T, M, D).
-    Short clips are left-padded with zeros and masked (reference
-    ``:806-858``).
+    Index entries: {'video_path', 'audio_emb_path'[, 'pose_path']};
+    embeddings (T, M, D). A ``pose_path`` entry adds a DWPose video stream
+    read frame-aligned from a parallel mp4 (reference
+    ``A2MVideoAudioPose:890-1259``). Short clips are left-padded with zeros
+    and masked (reference ``:806-858``).
     """
 
     def get_batch(self, idx: int) -> Dict[str, Any]:
@@ -174,12 +184,19 @@ class VideoAudioDataset(VideoClipDataset):
 
         pixels = pad_to(pixels, n + 1)
         audio_clip = pad_to(audio_clip.astype(np.float32), n + 1)
-        return {"name": meta["name"],
-                "ref_video": np.repeat(pixels[:1], n, axis=0),
-                "gt_video": pixels[1:],
-                "ref_audio": audio_clip[0],
-                "gt_audio": audio_clip[1:],
-                "mask": mask}
+        sample = {"name": meta["name"],
+                  "ref_video": np.repeat(pixels[:1], n, axis=0),
+                  "gt_video": pixels[1:],
+                  "ref_audio": audio_clip[0],
+                  "gt_audio": audio_clip[1:],
+                  "mask": mask}
+        if meta.get("pose_path"):
+            pose_frames = vio.read_video_frames(meta["pose_path"], index)
+            pose = pad_to(vio.pixel_transform(pose_frames, self.sample_size),
+                          n + 1)
+            sample["ref_pose"] = pose[0]
+            sample["gt_pose"] = pose[1:]
+        return sample
 
 
 class LabelVideoDataset(VideoClipDataset):

@@ -135,10 +135,17 @@ class AMDTrainer:
         last_metrics: Dict[str, float] = {}
         t0 = time.perf_counter()
 
+        dp = self.mesh.shape.get("data", 1) * self.mesh.shape.get("fsdp", 1)
         with self.mesh:
             for batch in batches:
                 if self.global_step >= limit:
                     break
+                bsz = next(v.shape[0] for v in batch.values()
+                           if not isinstance(v, list))
+                if bsz % dp != 0:
+                    raise ValueError(
+                        f"batch size {bsz} must be divisible by the "
+                        f"data-parallel extent {dp} (mesh {dict(self.mesh.shape)})")
                 device_batch = {
                     k: jax.device_put(jnp.asarray(v), b_shard)
                     for k, v in batch.items()

@@ -1,0 +1,60 @@
+"""In-process smoke test of the train_amd.py CLI wiring."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    from hivae_tpu.data import video as vio
+
+    d = tmp_path_factory.mktemp("cli_videos")
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        frames = rng.randint(0, 255, (9, 32, 32, 3), dtype=np.uint8)
+        vio.write_video(str(d / f"c{i}.mp4"), frames, fps=8)
+    return str(d)
+
+
+class TestTrainAMDCLI:
+    def test_two_steps(self, video_dir, tmp_path, monkeypatch):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        import train_amd
+
+        argv = [
+            "train_amd.py",
+            "--video_dir", video_dir,
+            "--output_dir", str(tmp_path),
+            "--exp_name", "smoke",
+            "--model_type", "AMD_N",
+            "--diffusion_model_type", "spatial",
+            "--mp", "no",
+            "--video_frames", "4",
+            "--image_height", "4", "--image_width", "4",
+            "--image_patch_size", "1",
+            "--sample_size", "32",
+            "--train_batch_size", "8",  # divisible by the 8-device data axis
+            "--max_train_steps", "2",
+            "--save_checkpoint_interval_step", "100",
+            "--object_motion_token_num", "2",
+            "--object_motion_token_channel", "16",
+            "--object_enc_num_layers", "1",
+            "--camera_enc_num_layers", "1",
+            "--enc_nhead", "2", "--enc_ndim", "8",
+            "--camera_motion_token_num", "4",
+            "--camera_motion_token_channel", "8",
+            "--motion_token_num", "2", "--motion_token_channel", "16",
+            "--diffusion_num_layers", "1",
+            "--diffusion_attn_num_heads", "2",
+            "--diffusion_attn_head_dim", "8",
+            "--dataloader_num_workers", "2",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        train_amd.main()
+        out = tmp_path / "smoke"
+        assert (out / "config.json").exists()
+        assert (out / "checkpoints").exists()

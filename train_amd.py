@@ -61,6 +61,16 @@ def parse_args():
     p.add_argument("--motion_token_channel", type=int, default=512)
     p.add_argument("--camera_mask_ratio", type=float, default=None)
     p.add_argument("--object_mask_ratio", type=float, default=None)
+    # architecture depth/width overrides (tiny-config and ablation support)
+    p.add_argument("--object_enc_num_layers", type=int, default=8)
+    p.add_argument("--camera_enc_num_layers", type=int, default=8)
+    p.add_argument("--enc_nhead", type=int, default=8)
+    p.add_argument("--enc_ndim", type=int, default=64)
+    p.add_argument("--diffusion_num_layers", type=int, default=12)
+    p.add_argument("--diffusion_attn_num_heads", type=int, default=16)
+    p.add_argument("--diffusion_attn_head_dim", type=int, default=64)
+    p.add_argument("--image_patch_size", type=int, default=2)
+    p.add_argument("--remat", type=str2bool, default=False)
     # data
     p.add_argument("--dataset", type=str, default="AMDConsecutiveVideo")
     p.add_argument("--video_dir", type=str, required=True)
@@ -94,8 +104,21 @@ def build_model(args, dtype):
               camera_motion_token_num=args.camera_motion_token_num,
               camera_motion_token_channel=args.camera_motion_token_channel,
               motion_token_num=args.motion_token_num,
-              motion_token_channel=args.motion_token_channel)
-    return amd.AMD_MODELS[args.model_type](dtype=dtype, **kw)
+              motion_token_channel=args.motion_token_channel,
+              object_enc_num_layers=args.object_enc_num_layers,
+              camera_enc_num_layers=args.camera_enc_num_layers,
+              image_patch_size=args.image_patch_size,
+              remat=args.remat)
+    cls = {"AMD_N": amd.AMDModelNew, "AMD_S": amd.AMDModel,
+           "AMD_L": amd.AMDModel}.get(args.model_type)
+    if cls is None:
+        return amd.AMD_MODELS[args.model_type](dtype=dtype, **kw)
+    cfg = amd.AMDConfig(
+        enc_nhead=args.enc_nhead, enc_ndim=args.enc_ndim,
+        diffusion_attn_head_dim=args.diffusion_attn_head_dim,
+        diffusion_attn_num_heads=args.diffusion_attn_num_heads,
+        diffusion_num_layers=args.diffusion_num_layers, **kw)
+    return cls(cfg=cfg, dtype=dtype)
 
 
 def main():
