@@ -288,7 +288,7 @@ class AMDModelNew(nn.Module):
 
     def __call__(self, video, ref_img, video_grey=None, ref_img_grey=None,
                  time_step=None, camera_mask_ratio=None,
-                 object_mask_ratio=None):
+                 object_mask_ratio=None, return_meta_info=False):
         """Training step core (reference ``AMDModel_New.forward:1844-2017``).
 
         Needs rngs: 'noise' (timesteps + flow noise), 'mask' if masking.
@@ -326,6 +326,9 @@ class AMDModelNew(nn.Module):
         rec_loss = l2(rec_zj, zj)
         loss_dict = {"loss": diff_loss, "diff_loss": diff_loss,
                      "rec_loss": rec_loss}
+        if return_meta_info:  # reference forward's meta dict (:2009-2015)
+            loss_dict = dict(loss_dict, zi=zi, zj=zj, zt=zt, pre=pre,
+                             rec_zj=rec_zj, time_step=time_step)
         return pre, vel, loss_dict
 
 
@@ -504,7 +507,7 @@ class AMDModel(nn.Module):
             object_motion_target=object_target)
 
     def __call__(self, video, ref_img, video_grey=None, ref_img_grey=None,
-                 time_step=None, mask_ratio=None):
+                 time_step=None, mask_ratio=None, return_meta_info=False):
         c = self.cfg
         n, t = video.shape[:2]
         motions = self.encode(video, ref_img, video_grey, ref_img_grey,
@@ -542,6 +545,9 @@ class AMDModel(nn.Module):
         else:
             loss_dict = {"loss": diff_loss, "diff_loss": diff_loss,
                          "rec_loss": rec_loss}
+        if return_meta_info:
+            loss_dict = dict(loss_dict, zi=zi, zj=zj, zt=zt, pre=pre,
+                             rec_zj=rec_zj, time_step=time_step)
         return pre, vel, loss_dict
 
 

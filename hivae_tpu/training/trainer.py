@@ -50,6 +50,9 @@ class TrainConfig:
     camera_mask_ratio: Optional[float] = None
     object_mask_ratio: Optional[float] = None
     resume: bool = False
+    # perceptual loss: velocity MSE + w * LPIPS(decoded rec, GT pixels)
+    # (reference LpipsMseLoss, model/loss.py:248-330); requires lpips params
+    perceptual_weight: float = 0.0
 
 
 class AMDTrainer:
@@ -57,11 +60,13 @@ class AMDTrainer:
     iterator of *pixel* clips; everything device-side is jitted once."""
 
     def __init__(self, model, params, vae, vae_params, config: TrainConfig,
-                 tb_writer=None):
+                 tb_writer=None, lpips=None, lpips_params=None):
         self.model = model
         self.config = config
         self.vae = vae
         self.vae_params = vae_params
+        self.lpips = lpips
+        self.lpips_params = lpips_params
         self.mesh = create_mesh(config.mesh_shape)
         self.tb = tb_writer
 
@@ -108,10 +113,26 @@ class AMDTrainer:
                 if isinstance(model, amd_mod.AMDModelNew):
                     kwargs["camera_mask_ratio"] = cfg.camera_mask_ratio
                     kwargs["object_mask_ratio"] = cfg.object_mask_ratio
+                use_lpips = cfg.perceptual_weight > 0 and self.lpips is not None
                 _, _, loss_dict = model.apply(
                     params, video_z, ref_z, rngs={"noise": kn, "mask": km},
-                    **kwargs)
-                return loss_dict["loss"], loss_dict
+                    return_meta_info=use_lpips, **kwargs)
+                loss = loss_dict["loss"]
+                if use_lpips:
+                    decoded = vae.apply(
+                        vae_params,
+                        loss_dict["rec_zj"] / vae_mod.SD_VAE_SCALE,
+                        method="decode")
+                    gt = batch["videos"].reshape(
+                        (-1,) + batch["videos"].shape[2:])
+                    p_loss = jnp.mean(self.lpips.apply(
+                        self.lpips_params, decoded, gt))
+                    loss = loss + cfg.perceptual_weight * p_loss
+                    loss_dict = {k: v for k, v in loss_dict.items()
+                                 if v is not None and jnp.ndim(v) == 0}
+                    loss_dict["lpips_loss"] = p_loss
+                    loss_dict["loss"] = loss
+                return loss, loss_dict
 
             (_, loss_dict), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)

@@ -80,6 +80,22 @@ class TestAMDTrainer:
         assert trainer2.global_step == 4
         assert np.isfinite(metrics2["loss"])
 
+    def test_perceptual_loss_path(self, stack, loader, tmp_path):
+        from hivae_tpu.losses import LPIPS
+
+        model, params, vae, vae_params = stack
+        lpips = LPIPS()
+        lp = lpips.init(KEY, jnp.zeros((1, 3, SIZE, SIZE)),
+                        jnp.zeros((1, 3, SIZE, SIZE)))
+        config = TrainConfig(output_dir=str(tmp_path / "p"), max_steps=1,
+                             log_every=1, save_every=100,
+                             perceptual_weight=0.5, mesh_shape=(2, 2, 2))
+        trainer = AMDTrainer(model, params, vae, vae_params, config,
+                             lpips=lpips, lpips_params=lp)
+        metrics = trainer.fit(_stream(loader))
+        assert "lpips_loss" in metrics
+        assert np.isfinite(metrics["loss"])
+
     def test_validate(self, stack, loader, tmp_path):
         model, params, vae, vae_params = stack
         config = TrainConfig(output_dir=str(tmp_path / "v"), max_steps=1,
