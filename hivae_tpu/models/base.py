@@ -71,7 +71,8 @@ class RectifiedFlowHarness:
         noise = jax.random.normal(kz, motion_gt.shape, motion_gt.dtype)
         vel_gt = motion_gt - noise
         zt = t * motion_gt + (1 - t) * noise
-        vel_pred = self.velocity_fn(zt, conds, timestep)
+        # float timesteps at the model boundary, matching sample()
+        vel_pred = self.velocity_fn(zt, conds, timestep.astype(jnp.float32))
         motion_pred = zt + (1 - t) * vel_pred
         return zt, motion_pred, vel_pred, vel_gt
 

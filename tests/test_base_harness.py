@@ -33,8 +33,18 @@ class TestHarness:
     def test_forward_identities(self):
         h = RectifiedFlowHarness(lambda z, c, t: c - z, num_steps=1000)
         gt = jax.random.normal(KEY, (2, 3, 4))
-        zt, motion_pred, vel_pred, vel_gt = h.forward(KEY, gt, gt)
-        assert zt.shape == gt.shape == vel_gt.shape
+        # timestep 0 -> t=1 -> zt == gt exactly, pinning the convention
+        zt, motion_pred, vel_pred, vel_gt = h.forward(
+            KEY, gt, gt, timestep=jnp.zeros((2,), jnp.int32))
+        np.testing.assert_allclose(np.asarray(zt), np.asarray(gt), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(motion_pred), np.asarray(gt),
+                                   rtol=1e-5, atol=1e-6)
+        seen_dtypes = []
+        h2 = RectifiedFlowHarness(
+            lambda z, c, t: seen_dtypes.append(t.dtype) or (c - z))
+        h2.forward(KEY, gt, gt)
+        h2.sample(KEY, (2, 3, 4), gt, sample_steps=2)
+        assert all(d == jnp.float32 for d in seen_dtypes)
 
     def test_sample_converges_for_linear_flow(self):
         """v(z) = target - z integrates towards the target."""
