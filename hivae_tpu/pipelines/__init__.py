@@ -1,2 +1,2 @@
 from .pipeline import (AMDReconstructionPipeline, AMDCrossVideoPipeline,
-                       ImageAudio2VideoPipeline)
+                       GTMotionAblationPipeline, ImageAudio2VideoPipeline)

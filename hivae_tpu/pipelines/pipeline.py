@@ -132,6 +132,59 @@ class AMDCrossVideoPipeline(AMDReconstructionPipeline):
         return out
 
 
+class GTMotionAblationPipeline:
+    """Windowed GT-motion reconstruction ablation (reference
+    ``AMDTestPipeLine:266-430``): extract ground-truth motion tokens per
+    W-frame window (optionally masked) and decode chained on the previous
+    window's last generated frame — isolates decoder quality from the A2M
+    head."""
+
+    def __init__(self, vae, vae_params, amd_model, amd_params,
+                 window: int = 16, sample_size: int = 256):
+        self.vae = vae
+        self.vae_params = vae_params
+        self.amd_model = amd_model
+        self.amd_params = amd_params
+        self.window = window
+        self.sample_size = sample_size
+
+    def reconstruct(self, video_path: str, output_path: Optional[str] = None,
+                    num_windows: int = 2, video_sample_step: int = 10,
+                    fps: int = 8, key: Optional[jax.Array] = None
+                    ) -> np.ndarray:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        w = self.window
+        total, video_fps = vio.video_metadata(video_path)
+        n_frames = num_windows * w + 1
+        idx = vio.sample_frames_with_fps(total, video_fps, n_frames, fps,
+                                         start_index=0)
+        frames = vio.read_video_frames(video_path, idx)
+        pixels = vio.pixel_transform(frames, self.sample_size)
+        z = vae_mod.vae_encode(self.vae, self.vae_params,
+                               jnp.asarray(pixels)[None])
+        ref_z, gt_z = z[:, :1], z[:, 1:]
+
+        pre_video = None
+        for i in range(num_windows):
+            key, kv = jax.random.split(key)
+            cur_gt = gt_z[:, i * w:(i + 1) * w]
+            motion = self.amd_model.apply(self.amd_params, cur_gt,
+                                          method="extract_motion")
+            m2v_ref = ref_z[:, 0] if pre_video is None else pre_video[:, -1]
+            _, video_pre = amd_mod.sample_with_refimg_motion(
+                self.amd_model, self.amd_params, kv, m2v_ref, motion,
+                sample_step=video_sample_step)
+            pre_video = video_pre if pre_video is None else jnp.concatenate(
+                [pre_video, video_pre], axis=1)
+
+        result = jnp.concatenate([ref_z, pre_video], axis=1)
+        imgs = vae_mod.vae_decode(self.vae, self.vae_params, result)[0]
+        out = np.asarray(vae_mod.latents_to_rgb(imgs))
+        if output_path:
+            vio.write_video(output_path, out, fps=fps)
+        return out
+
+
 class ImageAudio2VideoPipeline:
     """Windowed autoregressive audio-driven video generation.
 

@@ -111,6 +111,23 @@ class TestReconstructionPipeline:
         assert out.shape == (W + 1, 3, SIZE, SIZE)
 
 
+class TestGTMotionAblation:
+    def test_windowed_reconstruction(self, tiny_stack, tmp_path):
+        from hivae_tpu.pipelines import GTMotionAblationPipeline
+
+        # needs 2*W+1 frames
+        path = str(tmp_path / "long.mp4")
+        rng = np.random.RandomState(1)
+        frames = rng.randint(0, 255, (2 * W + 3, SIZE, SIZE, 3),
+                             dtype=np.uint8)
+        vio.write_video(path, frames, fps=8)
+        pipe = GTMotionAblationPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, sample_size=SIZE)
+        out = pipe.reconstruct(path, num_windows=2, video_sample_step=2)
+        assert out.shape == (2 * W + 1, 3, SIZE, SIZE)
+
+
 class TestImageAudio2Video:
     def test_predict_windows_and_tail(self, tiny_stack):
         pipe = ImageAudio2VideoPipeline(
