@@ -18,7 +18,7 @@ a deterministic mel-style filterbank feature so pipelines stay runnable.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import torch

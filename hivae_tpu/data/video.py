@@ -14,7 +14,7 @@ handed to the device feed.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import cv2
 import numpy as np

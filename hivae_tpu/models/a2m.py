@@ -22,7 +22,7 @@ Training forwards use the per-frame mask-weighted velocity MSE
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

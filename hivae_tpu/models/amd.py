@@ -35,7 +35,6 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import frequency
 from ..ops import rectified_flow as rf

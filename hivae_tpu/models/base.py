@@ -15,7 +15,7 @@ abstract harness so custom conditioning heads can be added with only a
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,12 +18,11 @@ diffusers modules; see ``utils/torch_convert.py`` for the name map.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import attention as attn_ops
 from ..ops import embeddings as emb_ops

@@ -12,7 +12,7 @@ convs dominate; see ops/pallas for the attention fast path.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

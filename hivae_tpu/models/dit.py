@@ -21,7 +21,7 @@ Naming map (ours -> reference):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ patches. Factories MAE_S (~150M) / MAE_L (~500M).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ prediction, trained with l2 over frames 1..T.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

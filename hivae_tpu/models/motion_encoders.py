@@ -30,12 +30,10 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import embeddings as emb_ops
-from .blocks import (Attention, BasicCrossTransformerBlock,
-                     BasicTransformerBlock, FeedForward, MotionTemporalBlock,
-                     PatchEmbed)
+from .blocks import (BasicCrossTransformerBlock, BasicTransformerBlock,
+                     MotionTemporalBlock, PatchEmbed)
 
 Dtype = Any
 

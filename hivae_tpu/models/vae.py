@@ -14,7 +14,7 @@ loops chunks of 16 frames on GPU); bf16-friendly with fp32 GroupNorm.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

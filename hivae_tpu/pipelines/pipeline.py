@@ -20,7 +20,7 @@ window reuses one compiled program.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

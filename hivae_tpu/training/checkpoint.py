@@ -19,8 +19,6 @@ import re
 import shutil
 from typing import Any, Dict, List, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"checkpoint-(\d+)")

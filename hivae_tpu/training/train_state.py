@@ -10,7 +10,6 @@ program; batches shard over (data, fsdp), parameters per
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct

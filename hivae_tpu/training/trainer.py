@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 
 from ..models import amd as amd_mod
 from ..models import vae as vae_mod
-from ..parallel import batch_sharding, create_mesh, replicate
+from ..parallel import batch_sharding, create_mesh
 from . import checkpoint as ckpt_lib
 from .train_state import (TrainState, make_optimizer, shard_train_step)
 

@@ -7,8 +7,6 @@ working equivalents used by tests and benchmarks (BASELINE: PSNR within
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

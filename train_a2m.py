@@ -61,7 +61,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import optax
 
     from amd_inference import load_amd

@@ -126,7 +126,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from hivae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()

@@ -33,7 +33,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from hivae_tpu.data.datasets import DataLoader, VideoClipDataset
     from hivae_tpu.models import mae as mae_mod
