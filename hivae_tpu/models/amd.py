@@ -110,6 +110,8 @@ class AMDConfig:
     # TPU-side option: activation-checkpoint the DiT blocks (the reference's
     # gradient_checkpointing switch)
     remat: bool = False
+    # stack DiT layers with nn.scan (faster compiles; stacked param layout)
+    scan_layers: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "AMDConfig":
@@ -208,7 +210,7 @@ class AMDModelNew(nn.Module):
                 use_camera=c.use_camera, use_object=c.use_object,
                 camera_motion_in_channels=c.camera_motion_token_channel,
                 object_motion_in_channels=c.object_motion_token_channel,
-                **dit_kw)
+                scan_layers=c.scan_layers, **dit_kw)
         else:
             raise ValueError(c.diffusion_model_type)
 

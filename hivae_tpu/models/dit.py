@@ -225,12 +225,52 @@ class VelocityDiTTempMotion(_DiTBase):
         return self._head(img, emb, hi, wi)
 
 
+class _SpatialTempLayer(nn.Module):
+    """One ImgSpatialTempMotion layer: object joint block + camera joint
+    block + per-pixel temporal spatial block. Factored out so the DiT can
+    stack layers with ``nn.scan`` (one compiled layer body instead of L
+    unrolled copies — ~10x faster XLA compiles at identical math)."""
+
+    hidden: int
+    heads: int
+    head_dim: int
+    n: int
+    t: int
+    s: int
+    use_object: bool = True
+    use_camera: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        motion, cam, img, emb, emb_s = carry
+        n, t, s, hidden = self.n, self.t, self.s, self.hidden
+        if self.use_object:
+            motion, img = JointTransformerBlock(
+                hidden, self.heads, self.head_dim, name="object_block",
+                dtype=self.dtype)(motion, img, emb)
+        if self.use_camera:
+            cam, img = JointTransformerBlock(
+                hidden, self.heads, self.head_dim, name="camera_block",
+                dtype=self.dtype)(cam, img, emb)
+        img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
+            n * s, t, hidden)
+        img = DiTBlock(hidden, self.heads, self.head_dim,
+                       name="spatial_block", dtype=self.dtype)(img, emb_s)
+        img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
+            n * t, s, hidden)
+        return (motion, cam, img, emb, emb_s), None
+
+
 class VelocityDiTImgSpatialTempMotion(_DiTBase):
     """Object joint block + camera joint block + per-pixel temporal spatial
     block per layer (reference
     ``AMDDiffusionTransformerModelImgSpatialTempMotion:1746-2043``).
 
     Camera motion arrives as (n, T, S, Dc) per-site tokens.
+    ``scan_layers`` stacks the layers with ``nn.scan`` (stacked param layout;
+    big compile-time win) — use the unrolled default for torch-checkpoint
+    name compatibility.
     """
 
     use_camera: bool = True
@@ -238,6 +278,7 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
     camera_motion_in_channels: int = 16
     object_motion_in_channels: int = 64
     motion_target_num_frame: int = 16
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, image_hidden_states, timestep,
@@ -285,22 +326,37 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
                  tgt_tok, obj_embed(object_motion_target)], axis=1)
             motion = motion + _pos1d(hidden, msl, self.dtype)
 
-        for i in range(self.num_layers):
-            if motion is not None:
-                motion, img = self._blk(JointTransformerBlock)(
-                    hidden, self.heads, self.head_dim,
-                    name=f"object_blocks_{i}", dtype=self.dtype)(motion, img, emb)
-            if cam is not None:
-                cam, img = self._blk(JointTransformerBlock)(
-                    hidden, self.heads, self.head_dim,
-                    name=f"camera_blocks_{i}", dtype=self.dtype)(cam, img, emb)
-            # spatial block over per-pixel temporal tubes
-            img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
-                n * s, t, hidden)
-            img = self._blk(DiTBlock)(hidden, self.heads, self.head_dim,
-                           name=f"spatial_blocks_{i}", dtype=self.dtype)(img, emb_s)
-            img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
-                n_t, s, hidden)
+        if self.scan_layers and motion is not None and cam is not None:
+            layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False) \
+                if self.remat else _SpatialTempLayer
+            Stacked = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: None})
+            carry = (motion, cam, img, emb, emb_s)
+            (motion, cam, img, emb, emb_s), _ = Stacked(
+                hidden=hidden, heads=self.heads, head_dim=self.head_dim,
+                n=n, t=t, s=s, use_object=True, use_camera=True,
+                name="layers", dtype=self.dtype)(carry, None)
+        else:
+            for i in range(self.num_layers):
+                if motion is not None:
+                    motion, img = self._blk(JointTransformerBlock)(
+                        hidden, self.heads, self.head_dim,
+                        name=f"object_blocks_{i}", dtype=self.dtype)(motion, img, emb)
+                if cam is not None:
+                    cam, img = self._blk(JointTransformerBlock)(
+                        hidden, self.heads, self.head_dim,
+                        name=f"camera_blocks_{i}", dtype=self.dtype)(cam, img, emb)
+                # spatial block over per-pixel temporal tubes
+                img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
+                    n * s, t, hidden)
+                img = self._blk(DiTBlock)(hidden, self.heads, self.head_dim,
+                               name=f"spatial_blocks_{i}", dtype=self.dtype)(img, emb_s)
+                img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
+                    n_t, s, hidden)
 
         return self._head(img, emb, hi, wi)
 

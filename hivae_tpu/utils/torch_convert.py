@@ -91,6 +91,40 @@ def _to_flax_layout(torch_arr: np.ndarray, target_shape: Tuple[int, ...],
     return None
 
 
+# scanned-layer stack names -> per-layer flax-style names (the _RULES then
+# map these onto the torch ModuleList names)
+_SCAN_BLOCK_NAMES = {
+    "object_block": "object_blocks",
+    "camera_block": "camera_blocks",
+    "spatial_block": "spatial_blocks",
+}
+
+
+def _try_stacked(torch_state, lookup, target_shape, leaf, prefix):
+    """Assemble a scanned (nn.scan-stacked) parameter of shape (L, ...) from
+    the reference's per-layer ModuleList keys."""
+    if "layers" not in lookup:
+        return None
+    i = lookup.index("layers")
+    if i + 1 >= len(lookup) or lookup[i + 1] not in _SCAN_BLOCK_NAMES:
+        return None
+    num_layers = target_shape[0]
+    per_shape = tuple(target_shape[1:])
+    stack = []
+    for layer in range(num_layers):
+        per_path = (lookup[:i] +
+                    (f"{_SCAN_BLOCK_NAMES[lookup[i + 1]]}_{layer}",) +
+                    lookup[i + 2:])
+        tkey = prefix + flax_path_to_torch_key(per_path)
+        if tkey not in torch_state:
+            return None
+        arr = _to_flax_layout(torch_state[tkey], per_shape, leaf)
+        if arr is None:
+            return None
+        stack.append((tkey, arr))
+    return stack
+
+
 def convert_torch_state(
     flax_params: Any,
     torch_state: Dict[str, np.ndarray],
@@ -99,8 +133,10 @@ def convert_torch_state(
 ):
     """Fill a flax param tree from a torch state dict.
 
-    Returns (params, report) where report lists missing flax leaves and
-    unused torch keys. With ``strict`` a missing leaf raises.
+    Handles both the unrolled layer layout (1:1 keys) and the nn.scan
+    stacked layout (one flax leaf <- L per-layer torch keys). Returns
+    (params, report) where report lists missing flax leaves and unused torch
+    keys. With ``strict`` a missing leaf raises.
     """
     flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
     treedef = jax.tree_util.tree_structure(flax_params)
@@ -111,6 +147,15 @@ def convert_torch_state(
         # drop the top-level 'params' collection name if present
         lookup = path[1:] if path and path[0] == "params" else path
         tkey = prefix + flax_path_to_torch_key(lookup)
+        if tkey not in torch_state:
+            stacked = _try_stacked(torch_state, lookup, leaf_val.shape,
+                                   path[-1], prefix)
+            if stacked is not None:
+                for k, _ in stacked:
+                    used.add(k)
+                out.append(np.stack([a for _, a in stacked]).astype(
+                    np.asarray(leaf_val).dtype))
+                continue
         if tkey in torch_state:
             arr = _to_flax_layout(torch_state[tkey], leaf_val.shape, path[-1])
             if arr is None:
