@@ -108,6 +108,21 @@ def pixel_transform(frames: np.ndarray, size: int = 256) -> np.ndarray:
     return x.numpy()
 
 
+def save_videos_grid(path: str, videos: np.ndarray, fps: float = 8.0,
+                     n_cols: int = 4) -> None:
+    """Tile a batch of videos (N, F, C, H, W) uint8 into one grid mp4
+    (reference ``save_videos_grid``, ``model/utils.py:55-73``)."""
+    n, f, c, h, w = videos.shape
+    n_cols = min(n_cols, n)
+    n_rows = -(-n // n_cols)
+    grid = np.zeros((f, n_rows * h, n_cols * w, c), dtype=np.uint8)
+    for i in range(n):
+        r, col = divmod(i, n_cols)
+        grid[:, r * h:(r + 1) * h, col * w:(col + 1) * w] = \
+            videos[i].transpose(0, 2, 3, 1)
+    write_video(path, grid, fps=fps)
+
+
 def write_video(path: str, frames: np.ndarray, fps: float = 8.0) -> None:
     """(F,C,H,W) or (F,H,W,C) uint8 -> mp4 via OpenCV."""
     if frames.shape[1] in (1, 3) and frames.ndim == 4 and \

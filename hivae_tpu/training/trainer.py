@@ -203,7 +203,8 @@ class AMDTrainer:
     # -- validation ----------------------------------------------------------
 
     def validate(self, batch: Dict[str, np.ndarray], sample_step: int = 2,
-                 key: Optional[jax.Array] = None) -> np.ndarray:
+                 key: Optional[jax.Array] = None,
+                 grid_path: Optional[str] = None) -> np.ndarray:
         """Sample reconstructions for a pixel batch and (optionally) write
         tensorboard panels. Returns decoded uint8 video (N,T,C,H,W)."""
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -223,6 +224,10 @@ class AMDTrainer:
                                         sample_step=sample_step, **kwargs)
         video = vae_mod.vae_decode(self.vae, self.vae_params, sample_z)
         out = np.asarray(vae_mod.latents_to_rgb(video))
+        if grid_path is not None:
+            from ..data.video import save_videos_grid
+
+            save_videos_grid(grid_path, out)
         if self.tb is not None:
             self.tb.add_images("val/first_frame_pred", out[:, 0],
                                self.global_step)

@@ -83,6 +83,17 @@ class TestDatasets:
         assert len(d0) + len(d1) == 3
 
 
+class TestVideoGrid:
+    def test_save_videos_grid(self, tmp_path):
+        videos = np.random.randint(0, 255, (3, 2, 3, 16, 16), dtype=np.uint8)
+        path = str(tmp_path / "grid.mp4")
+        vio.save_videos_grid(path, videos, n_cols=2)
+        total, _ = vio.video_metadata(path)
+        assert total == 2
+        frames = vio.read_video_frames(path, np.array([0]))
+        assert frames.shape == (1, 32, 32, 3)  # 2 rows x 2 cols of 16px
+
+
 class TestFlowMask:
     def test_shapes_and_values(self):
         rng = np.random.RandomState(0)
