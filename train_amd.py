@@ -71,6 +71,8 @@ def parse_args():
     p.add_argument("--diffusion_attn_head_dim", type=int, default=64)
     p.add_argument("--image_patch_size", type=int, default=2)
     p.add_argument("--remat", type=str2bool, default=False)
+    p.add_argument("--scan_layers", type=str2bool, default=False,
+                   help="nn.scan-stack DiT layers (faster compiles)")
     # data
     p.add_argument("--dataset", type=str, default="AMDConsecutiveVideo")
     p.add_argument("--video_dir", type=str, required=True)
@@ -108,7 +110,7 @@ def build_model(args, dtype):
               object_enc_num_layers=args.object_enc_num_layers,
               camera_enc_num_layers=args.camera_enc_num_layers,
               image_patch_size=args.image_patch_size,
-              remat=args.remat)
+              remat=args.remat, scan_layers=args.scan_layers)
     cls = {"AMD_N": amd.AMDModelNew, "AMD_S": amd.AMDModel,
            "AMD_L": amd.AMDModel}.get(args.model_type)
     if cls is None:
