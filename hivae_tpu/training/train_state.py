@@ -103,10 +103,13 @@ def make_train_step(
 
 
 def shard_train_step(train_step, mesh, state: TrainState,
-                     donate_state: bool = True):
+                     donate_state: bool = True,
+                     n_extra_replicated: int = 0):
     """jit the step with explicit shardings over ``mesh``; donates the state
-    buffer so parameters update in place. Returns (jitted_step,
-    state_shardings) — device_put the initial state with the latter."""
+    buffer so parameters update in place. ``n_extra_replicated`` trailing
+    arguments (e.g. frozen VAE/LPIPS params) are replicated. Returns
+    (jitted_step, state_shardings) — device_put the initial state with the
+    latter."""
     p_shard = param_shardings(state.params, mesh)
     state_shardings = TrainState(
         step=replicate(mesh), params=p_shard,
@@ -117,9 +120,11 @@ def shard_train_step(train_step, mesh, state: TrainState,
                                            mesh)
     b_shard = batch_sharding(mesh)
 
+    in_shardings = (state_shardings, b_shard, replicate(mesh)) + \
+        (replicate(mesh),) * n_extra_replicated
     jitted = jax.jit(
         train_step,
-        in_shardings=(state_shardings, b_shard, replicate(mesh)),
+        in_shardings=in_shardings,
         out_shardings=(state_shardings, replicate(mesh)),
         donate_argnums=(0,) if donate_state else ())
     return jitted, state_shardings

@@ -96,12 +96,22 @@ class AMDTrainer:
         cfg = self.config
         use_grey = getattr(model.cfg, "use_grey", False)
 
-        def encode(key, pixels):
-            return vae_mod.vae_encode(vae, vae_params, pixels, key)
+        use_lpips = cfg.perceptual_weight > 0 and self.lpips is not None
+        lpips = self.lpips
 
-        def train_step(state: TrainState, batch, rng):
+        # frozen params travel as explicit jit arguments: embedding them as
+        # trace-time constants requires a host fetch the relay can't always
+        # perform, and constants bloat the compiled program
+        self._frozen = {"vae": self.vae_params}
+        if use_lpips:
+            self._frozen["lpips"] = self.lpips_params
+
+        def train_step(state: TrainState, batch, rng, frozen):
             rng = jax.random.fold_in(rng, state.step)
             kv, kg, kn, km = jax.random.split(rng, 4)
+
+            def encode(key, pixels):
+                return vae_mod.vae_encode(vae, frozen["vae"], pixels, key)
 
             def loss_fn(params):
                 video_z = encode(kv, batch["videos"])
@@ -113,20 +123,19 @@ class AMDTrainer:
                 if isinstance(model, amd_mod.AMDModelNew):
                     kwargs["camera_mask_ratio"] = cfg.camera_mask_ratio
                     kwargs["object_mask_ratio"] = cfg.object_mask_ratio
-                use_lpips = cfg.perceptual_weight > 0 and self.lpips is not None
                 _, _, loss_dict = model.apply(
                     params, video_z, ref_z, rngs={"noise": kn, "mask": km},
                     return_meta_info=use_lpips, **kwargs)
                 loss = loss_dict["loss"]
                 if use_lpips:
                     decoded = vae.apply(
-                        vae_params,
+                        frozen["vae"],
                         loss_dict["rec_zj"] / vae_mod.SD_VAE_SCALE,
                         method="decode")
                     gt = batch["videos"].reshape(
                         (-1,) + batch["videos"].shape[2:])
-                    p_loss = jnp.mean(self.lpips.apply(
-                        self.lpips_params, decoded, gt))
+                    p_loss = jnp.mean(lpips.apply(
+                        frozen["lpips"], decoded, gt))
                     loss = loss + cfg.perceptual_weight * p_loss
                     loss_dict = {k: v for k, v in loss_dict.items()
                                  if v is not None and jnp.ndim(v) == 0}
@@ -143,7 +152,8 @@ class AMDTrainer:
             return new_state, metrics
 
         with self.mesh:
-            return shard_train_step(train_step, self.mesh, self.state)
+            return shard_train_step(train_step, self.mesh, self.state,
+                                    n_extra_replicated=1)
 
     # -- loop ----------------------------------------------------------------
 
@@ -172,7 +182,7 @@ class AMDTrainer:
                     for k, v in batch.items()
                     if not isinstance(v, list)}
                 self.state, metrics = self._step_fn(self.state, device_batch,
-                                                    rng)
+                                                    rng, self._frozen)
                 self.global_step += 1
 
                 if self.global_step % cfg.log_every == 0 or \

@@ -127,6 +127,10 @@ def main():
     args = parse_args()
 
     import jax
+
+    if os.environ.get("HIVAE_MULTIHOST") == "1":
+        # multihost pod: one process per host; the mesh spans all devices
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from hivae_tpu.utils.cache import enable_compile_cache
