@@ -46,7 +46,8 @@ def make_optimizer(learning_rate: float = 1e-4,
                    weight_decay: float = 1e-2,
                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                    max_grad_norm: float = 1.0,
-                   accumulate_steps: int = 1) -> optax.GradientTransformation:
+                   accumulate_steps: int = 1,
+                   mu_dtype=None) -> optax.GradientTransformation:
     """AdamW + diffusers-style LR schedule + global-norm clipping
     (reference ``train_amd.py:255-261,490-492``). ``accumulate_steps`` > 1
     wraps the chain in optax.MultiSteps (reference
@@ -63,7 +64,7 @@ def make_optimizer(learning_rate: float = 1e-4,
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(sched, b1=b1, b2=b2, eps=eps,
-                    weight_decay=weight_decay),
+                    weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)

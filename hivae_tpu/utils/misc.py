@@ -1,0 +1,29 @@
+"""Small shared utilities (reference ``model/utils.py`` parity)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def count_params(params: Any) -> int:
+    """Total parameter count of a pytree (reference ``print_param_num``)."""
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def print_param_num(name: str, params: Any) -> int:
+    n = count_params(params)
+    print(f"* {name}: {n/1e6:.1f}M parameters")
+    return n
+
+
+def save_args(args, directory: str, name: str = "args.txt") -> None:
+    """Snapshot CLI args next to checkpoints (reference ``save_cfg``,
+    ``model/utils.py:40-47``)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, name), "w") as f:
+        for k, v in sorted(vars(args).items()):
+            f.write(f"{k}: {v}\n")

@@ -161,6 +161,9 @@ def main():
                                                         args.pretrain_path)
         print(f"loaded pretrain: {len(report['missing'])} missing keys")
     ckpt_lib.save_config(model.cfg.to_dict(), out_dir)
+    from hivae_tpu.utils.misc import print_param_num, save_args
+    save_args(args, out_dir)
+    print_param_num(args.model_type, params)
 
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     vae_params = vae.init(key, jnp.zeros((1, 3, args.sample_size,
