@@ -149,6 +149,8 @@ class AMDTrainer:
             import optax
             metrics = dict(loss_dict)
             metrics["grad_norm"] = optax.global_norm(grads)
+            # fp32 metrics: bf16 host fetches are not universally supported
+            metrics = jax.tree.map(lambda x: x.astype(jnp.float32), metrics)
             return new_state, metrics
 
         with self.mesh:
