@@ -204,7 +204,7 @@ class AMDModelNew(nn.Module):
         if c.diffusion_model_type == "default":
             self.diffusion_transformer = VelocityDiTTempMotion(
                 object_motion_in_channels=c.object_motion_token_channel,
-                **dit_kw)
+                scan_layers=c.scan_layers, **dit_kw)
         elif c.diffusion_model_type == "spatial":
             self.diffusion_transformer = VelocityDiTImgSpatialTempMotion(
                 use_camera=c.use_camera, use_object=c.use_object,

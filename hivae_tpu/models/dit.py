@@ -185,6 +185,7 @@ class VelocityDiTTempMotion(_DiTBase):
 
     object_motion_in_channels: int = 64
     motion_target_num_frame: int = 16
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, image_hidden_states, timestep,
@@ -218,10 +219,23 @@ class VelocityDiTTempMotion(_DiTBase):
                                  axis=1)
         motion = motion + _pos1d(hidden, msl, self.dtype)
 
-        for i in range(self.num_layers):
-            motion, img = self._blk(JointTransformerBlock)(
-                hidden, self.heads, self.head_dim,
-                name=f"object_blocks_{i}", dtype=self.dtype)(motion, img, emb)
+        if self.scan_layers:
+            layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False) \
+                if self.remat else _SpatialTempLayer
+            Stacked = nn.scan(layer_cls, variable_axes={"params": 0},
+                              split_rngs={"params": True},
+                              length=self.num_layers,
+                              metadata_params={nn.meta.PARTITION_NAME: None})
+            carry = (motion, None, img, emb, None)
+            (motion, _, img, emb, _), _ = Stacked(
+                hidden=hidden, heads=self.heads, head_dim=self.head_dim,
+                n=n, t=t, s=s, use_object=True, use_camera=False,
+                use_spatial=False, name="layers", dtype=self.dtype)(carry, None)
+        else:
+            for i in range(self.num_layers):
+                motion, img = self._blk(JointTransformerBlock)(
+                    hidden, self.heads, self.head_dim,
+                    name=f"object_blocks_{i}", dtype=self.dtype)(motion, img, emb)
         return self._head(img, emb, hi, wi)
 
 
@@ -239,6 +253,7 @@ class _SpatialTempLayer(nn.Module):
     s: int
     use_object: bool = True
     use_camera: bool = True
+    use_spatial: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -253,12 +268,13 @@ class _SpatialTempLayer(nn.Module):
             cam, img = JointTransformerBlock(
                 hidden, self.heads, self.head_dim, name="camera_block",
                 dtype=self.dtype)(cam, img, emb)
-        img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
-            n * s, t, hidden)
-        img = DiTBlock(hidden, self.heads, self.head_dim,
-                       name="spatial_block", dtype=self.dtype)(img, emb_s)
-        img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
-            n * t, s, hidden)
+        if self.use_spatial:
+            img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
+                n * s, t, hidden)
+            img = DiTBlock(hidden, self.heads, self.head_dim,
+                           name="spatial_block", dtype=self.dtype)(img, emb_s)
+            img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
+                n * t, s, hidden)
         return (motion, cam, img, emb, emb_s), None
 
 
