@@ -110,7 +110,12 @@ def shard_train_step(train_step, mesh, state: TrainState,
     buffer so parameters update in place. ``n_extra_replicated`` trailing
     arguments (e.g. frozen VAE/LPIPS params) are replicated. Returns
     (jitted_step, state_shardings) — device_put the initial state with the
-    latter."""
+    latter (None on a single-device mesh, where plain jit placement is used:
+    some TPU runtimes cannot fetch NamedSharding-annotated outputs)."""
+    if mesh.devices.size == 1:
+        jitted = jax.jit(train_step,
+                         donate_argnums=(0,) if donate_state else ())
+        return jitted, None
     p_shard = param_shardings(state.params, mesh)
     state_shardings = TrainState(
         step=replicate(mesh), params=p_shard,

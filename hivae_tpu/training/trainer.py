@@ -50,6 +50,10 @@ class TrainConfig:
     camera_mask_ratio: Optional[float] = None
     object_mask_ratio: Optional[float] = None
     resume: bool = False
+    # fetch the loss scalar every K steps; keeps the async dispatch queue
+    # shallow (deep queues break host fetches on some TPU runtimes) and
+    # bounds how far training runs ahead of error detection
+    sync_every: int = 1
     # perceptual loss: velocity MSE + w * LPIPS(decoded rec, GT pixels)
     # (reference LpipsMseLoss, model/loss.py:248-330); requires lpips params
     perceptual_weight: float = 0.0
@@ -87,7 +91,8 @@ class AMDTrainer:
             self.global_step = int(self.state.step)
 
         self._step_fn, self._state_shardings = self._build_step()
-        self.state = jax.device_put(self.state, self._state_shardings)
+        if self._state_shardings is not None:
+            self.state = jax.device_put(self.state, self._state_shardings)
 
     # -- step construction ---------------------------------------------------
 
@@ -179,13 +184,21 @@ class AMDTrainer:
                     raise ValueError(
                         f"batch size {bsz} must be divisible by the "
                         f"data-parallel extent {dp} (mesh {dict(self.mesh.shape)})")
-                device_batch = {
-                    k: jax.device_put(jnp.asarray(v), b_shard)
-                    for k, v in batch.items()
-                    if not isinstance(v, list)}
+                if self.mesh.devices.size == 1:
+                    device_batch = {k: jnp.asarray(v)
+                                    for k, v in batch.items()
+                                    if not isinstance(v, list)}
+                else:
+                    device_batch = {
+                        k: jax.device_put(jnp.asarray(v), b_shard)
+                        for k, v in batch.items()
+                        if not isinstance(v, list)}
                 self.state, metrics = self._step_fn(self.state, device_batch,
                                                     rng, self._frozen)
                 self.global_step += 1
+
+                if cfg.sync_every and self.global_step % cfg.sync_every == 0:
+                    float(metrics["loss"])
 
                 if self.global_step % cfg.log_every == 0 or \
                         self.global_step >= limit:

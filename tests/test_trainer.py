@@ -80,6 +80,18 @@ class TestAMDTrainer:
         assert trainer2.global_step == 4
         assert np.isfinite(metrics2["loss"])
 
+    def test_single_device_mesh_plain_jit(self, stack, loader, tmp_path):
+        """1-device meshes must use plain jit (no NamedSharding outputs —
+        some TPU runtimes cannot fetch them)."""
+        model, params, vae, vae_params = stack
+        config = TrainConfig(output_dir=str(tmp_path / "s"), max_steps=1,
+                             log_every=1, save_every=100,
+                             mesh_shape=(1, 1, 1))
+        trainer = AMDTrainer(model, params, vae, vae_params, config)
+        assert trainer._state_shardings is None
+        metrics = trainer.fit(_stream(loader))
+        assert np.isfinite(metrics["loss"])
+
     def test_perceptual_loss_path(self, stack, loader, tmp_path):
         from hivae_tpu.losses import LPIPS
 
