@@ -43,7 +43,9 @@ def load_amd(args, dtype):
     lat = cfg.image_height
     dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel, lat, lat))
     kw = dict(video_grey=dummy, ref_img_grey=dummy) if cfg.use_grey else {}
-    params = model.init({"params": key, "noise": key}, dummy, dummy, **kw)
+    from hivae_tpu.utils.misc import init_on_cpu
+    params = init_on_cpu(lambda: model.init({"params": key, "noise": key},
+                                            dummy, dummy, **kw))
 
     if args.amd_ckpt.endswith(".safetensors"):
         params, report = ckpt_lib.load_pretrain_partial(params, args.amd_ckpt)
@@ -71,8 +73,10 @@ def main():
     dtype = jnp.bfloat16
     model, params = load_amd(args, dtype)
 
+    from hivae_tpu.utils.misc import init_on_cpu
     vae = vae_mod.AutoencoderKL(dtype=dtype)
-    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    vae_params = init_on_cpu(lambda: vae.init(jax.random.PRNGKey(0),
+                                              jnp.zeros((1, 3, 256, 256))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,

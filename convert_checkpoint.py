@@ -66,8 +66,10 @@ def main():
                                                load_safetensors,
                                                normalize_vae_keys)
 
+    from hivae_tpu.utils.misc import init_on_cpu
+
     key = jax.random.PRNGKey(0)
-    template = build_template(args, key)
+    template = init_on_cpu(build_template, args, key)
     state = load_safetensors(args.src)
     if args.kind == "vae":
         state = normalize_vae_keys(state)

@@ -35,8 +35,10 @@ def main():
 
     dtype = jnp.bfloat16
     model, params = load_amd(args, dtype)
+    from hivae_tpu.utils.misc import init_on_cpu
     vae = vae_mod.AutoencoderKL(dtype=dtype)
-    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    vae_params = init_on_cpu(lambda: vae.init(jax.random.PRNGKey(0),
+                                              jnp.zeros((1, 3, 256, 256))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,

@@ -31,8 +31,10 @@ def main():
     from hivae_tpu.models import vae as vae_mod
     from hivae_tpu.ops import frequency, wavelet
 
+    from hivae_tpu.utils.misc import init_on_cpu
     vae = vae_mod.AutoencoderKL()
-    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    vae_params = init_on_cpu(lambda: vae.init(jax.random.PRNGKey(0),
+                                              jnp.zeros((1, 3, 256, 256))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,

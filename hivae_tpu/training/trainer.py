@@ -15,6 +15,7 @@ samples the model and writes image/video panels to tensorboard
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -158,9 +159,15 @@ class AMDTrainer:
             metrics = jax.tree.map(lambda x: x.astype(jnp.float32), metrics)
             return new_state, metrics
 
-        with self.mesh:
+        with self._mesh_ctx():
             return shard_train_step(train_step, self.mesh, self.state,
                                     n_extra_replicated=1)
+
+    def _mesh_ctx(self):
+        # a Mesh context makes jit emit NamedSharding-annotated outputs,
+        # which some TPU runtimes cannot fetch; skip it on one device
+        return self.mesh if self.mesh.devices.size > 1 else \
+            contextlib.nullcontext()
 
     # -- loop ----------------------------------------------------------------
 
@@ -174,7 +181,7 @@ class AMDTrainer:
         t0 = time.perf_counter()
 
         dp = self.mesh.shape.get("data", 1) * self.mesh.shape.get("fsdp", 1)
-        with self.mesh:
+        with self._mesh_ctx():
             for batch in batches:
                 if self.global_step >= limit:
                     break

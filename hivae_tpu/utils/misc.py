@@ -9,6 +9,23 @@ import jax
 import numpy as np
 
 
+def init_on_cpu(fn, *args, **kwargs):
+    """Run a (model.init-style) function on the host CPU backend.
+
+    Eager execution on some TPU runtimes is unreliable for exotic ops
+    (e.g. complex einsums in the frequency band split); initializing on CPU
+    and letting the first jitted step transfer the params is robust and
+    avoids giant init programs. Falls back to the default device when no
+    CPU backend is registered.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return fn(*args, **kwargs)
+    with jax.default_device(cpu):
+        return fn(*args, **kwargs)
+
+
 def count_params(params: Any) -> int:
     """Total parameter count of a pytree (reference ``print_param_num``)."""
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -79,8 +79,9 @@ def main():
     # frozen AMD + VAE
     amd_model, amd_params = load_amd(args, dtype)
     vae = vae_mod.AutoencoderKL(dtype=dtype)
-    vae_params = vae.init(key, jnp.zeros((1, 3, args.sample_size,
-                                          args.sample_size)))
+    from hivae_tpu.utils.misc import init_on_cpu
+    vae_params = init_on_cpu(lambda: vae.init(
+        key, jnp.zeros((1, 3, args.sample_size, args.sample_size))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,
@@ -96,9 +97,9 @@ def main():
                         a2m_cfg.motion_in_channel))
     audio = jnp.zeros((1, args.video_frames, a2m_cfg.audio_block,
                        a2m_cfg.audio_inchannel))
-    a2m_params = a2m_model.init({"params": key, "noise": key}, motion,
-                                motion[:, 0], audio=audio,
-                                ref_audio=audio[:, 0])
+    a2m_params = init_on_cpu(lambda: a2m_model.init(
+        {"params": key, "noise": key}, motion, motion[:, 0], audio=audio,
+        ref_audio=audio[:, 0]))
     ckpt_lib.save_config(spec, out_dir)
 
     dataset = VideoAudioDataset(args.video_dir,

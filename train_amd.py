@@ -155,7 +155,9 @@ def main():
     init_kw = {}
     if getattr(model.cfg, "use_grey", False):
         init_kw = dict(video_grey=dummy, ref_img_grey=dummy)
-    params = model.init({"params": key, "noise": key}, dummy, dummy, **init_kw)
+    from hivae_tpu.utils.misc import init_on_cpu
+    params = init_on_cpu(lambda: model.init({"params": key, "noise": key},
+                                            dummy, dummy, **init_kw))
     if args.pretrain_path:
         params, report = ckpt_lib.load_pretrain_partial(params,
                                                         args.pretrain_path)
@@ -166,8 +168,8 @@ def main():
     print_param_num(args.model_type, params)
 
     vae = vae_mod.AutoencoderKL(dtype=dtype)
-    vae_params = vae.init(key, jnp.zeros((1, 3, args.sample_size,
-                                          args.sample_size)))
+    vae_params = init_on_cpu(lambda: vae.init(
+        key, jnp.zeros((1, 3, args.sample_size, args.sample_size))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,

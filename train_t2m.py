@@ -54,8 +54,9 @@ def main():
 
     amd_model, amd_params = load_amd(args, dtype)
     vae = vae_mod.AutoencoderKL(dtype=dtype)
-    vae_params = vae.init(key, jnp.zeros((1, 3, args.sample_size,
-                                          args.sample_size)))
+    from hivae_tpu.utils.misc import init_on_cpu
+    vae_params = init_on_cpu(lambda: vae.init(
+        key, jnp.zeros((1, 3, args.sample_size, args.sample_size))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,
@@ -78,7 +79,8 @@ def main():
     ref = jnp.zeros((n, t, cfg.refimg_dim, cfg.refimg_height,
                      cfg.refimg_width))
     ts = jnp.zeros((n,))
-    params = model.init({"params": key, "noise": key}, cam, obj, label, ref, ts)
+    params = init_on_cpu(lambda: model.init(
+        {"params": key, "noise": key}, cam, obj, label, ref, ts))
     ckpt_lib.save_config(cfg.to_dict(), out_dir)
 
     dataset = LabelVideoDataset(args.video_dir,
