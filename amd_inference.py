@@ -39,13 +39,20 @@ def load_amd(args, dtype):
     cls = amd.AMDModelNew if args.model_type == "AMD_N" else amd.AMDModel
     model = cls(cfg=cfg, dtype=dtype)
 
-    key = jax.random.PRNGKey(0)
-    lat = cfg.image_height
-    dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel, lat, lat))
-    kw = dict(video_grey=dummy, ref_img_grey=dummy) if cfg.use_grey else {}
     from hivae_tpu.utils.misc import init_on_cpu
-    params = init_on_cpu(lambda: model.init({"params": key, "noise": key},
-                                            dummy, dummy, **kw))
+
+    def _init():
+        # build the dummy inputs inside the CPU default-device scope too —
+        # mixing TPU-resident arrays into a CPU-eager init trips cross-
+        # backend copies on relayed runtimes.
+        key = jax.random.PRNGKey(0)
+        lat = cfg.image_height
+        dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel,
+                           lat, lat))
+        kw = dict(video_grey=dummy, ref_img_grey=dummy) if cfg.use_grey else {}
+        return model.init({"params": key, "noise": key}, dummy, dummy, **kw)
+
+    params = init_on_cpu(_init)
 
     if args.amd_ckpt.endswith(".safetensors"):
         params, report = ckpt_lib.load_pretrain_partial(params, args.amd_ckpt)

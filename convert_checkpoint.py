@@ -23,8 +23,13 @@ def parse_args():
     return p.parse_args()
 
 
-def build_template(args, key):
+def build_template(args):
+    # key/dummies are created inside the init_on_cpu scope so every eager
+    # init op stays on the host backend (no cross-backend copies).
+    import jax
     import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
 
     if args.kind == "vae":
         from hivae_tpu.models import vae as vae_mod

@@ -75,6 +75,9 @@ def main():
     use_grey = getattr(model.cfg, "use_grey", False)
     videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),
                               recursive=True))[:args.max_videos]
+    psnr_j = jax.jit(M.psnr)
+    lpips_j = jax.jit(M.lpips_distance, static_argnums=(0,)) \
+        if lpips is not None else None
     psnrs, lpips_vals = [], []
     for i, vp in enumerate(videos):
         try:
@@ -84,28 +87,28 @@ def main():
                                              start_index=0)
             frames = vio.read_video_frames(vp, idx)
             pixels = vio.pixel_transform(frames)
-            z = vae_mod.vae_encode(vae, vae_params, jnp.asarray(pixels)[None])
+            z = vae_mod.vae_encode_jit(vae, vae_params, jnp.asarray(pixels)[None])
             gt_z = z[:, 1:]
             ref = jnp.broadcast_to(z[:, :1], gt_z.shape)
             kw = {}
             if use_grey:
                 grey = vio.pixel_transform(vio.to_grayscale(frames))
-                gz = vae_mod.vae_encode(vae, vae_params,
+                gz = vae_mod.vae_encode_jit(vae, vae_params,
                                         jnp.asarray(grey)[None])
                 kw = dict(video_grey=gz[:, 1:],
                           ref_img_grey=jnp.broadcast_to(gz[:, :1],
                                                         gt_z.shape))
-            _, rec_z, _ = amd_mod.sample(model, params, jax.random.PRNGKey(i),
+            _, rec_z, _ = amd_mod.sample_jit(model, params, jax.random.PRNGKey(i),
                                          gt_z, ref,
                                          sample_step=args.sample_step, **kw)
-            rec = vae_mod.vae_decode(vae, vae_params, rec_z)
+            rec = vae_mod.vae_decode_jit(vae, vae_params, rec_z)
             gt = jnp.asarray(pixels[1:])[None]
-            psnr = float(M.psnr(rec, gt))
+            psnr = float(psnr_j(rec, gt))
             psnrs.append(psnr)
             line = f"[{i+1}/{len(videos)}] {os.path.basename(vp)}: " \
                    f"PSNR {psnr:.2f} dB"
             if lpips is not None:
-                lv = float(M.lpips_distance(lpips, lpips_params, rec, gt))
+                lv = float(lpips_j(lpips, lpips_params, rec, gt))
                 lpips_vals.append(lv)
                 line += f"  LPIPS {lv:.4f}"
             print(line)

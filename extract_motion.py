@@ -58,7 +58,7 @@ def main():
                                              8, start_index=0)
             frames = vio.read_video_frames(vp, idx)
             pixels = vio.pixel_transform(frames)
-            z = vae_mod.vae_encode(vae, vae_params, jnp.asarray(pixels)[None])
+            z = vae_mod.vae_encode_jit(vae, vae_params, jnp.asarray(pixels)[None])
             # chunked extraction (reference model/utils.py:19-37 cat_video)
             chunks = [extract(z[:, s:s + args.chunk_frames])
                       for s in range(0, z.shape[1], args.chunk_frames)]

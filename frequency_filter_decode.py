@@ -47,26 +47,30 @@ def main():
                                      start_index=0)
     frames = vio.read_video_frames(args.video_path, idx)
     pixels = vio.pixel_transform(frames)
-    z = vae_mod.vae_encode(vae, vae_params, jnp.asarray(pixels)[None])
+    z = vae_mod.vae_encode_jit(vae, vae_params, jnp.asarray(pixels)[None])
 
     os.makedirs(args.output_dir, exist_ok=True)
     name = os.path.splitext(os.path.basename(args.video_path))[0]
 
     if args.mode == "fft":
-        zc = z.transpose(0, 2, 1, 3, 4)  # n c t h w
-        low, high = frequency.freq_3d_split(zc, args.cutoff, args.cutoff)
-        bands = {"low": low.transpose(0, 2, 1, 3, 4),
-                 "high": high.transpose(0, 2, 1, 3, 4) + 0.0}
+        @jax.jit
+        def fft_bands(z):
+            zc = z.transpose(0, 2, 1, 3, 4)  # n c t h w
+            low, high = frequency.freq_3d_split(zc, args.cutoff, args.cutoff)
+            return (low.transpose(0, 2, 1, 3, 4),
+                    high.transpose(0, 2, 1, 3, 4))
+        low, high = fft_bands(z)
+        bands = {"low": low, "high": high}
     else:
-        flat = z[0]
-        ll, hl, lh, hh = wavelet.dwt2(flat)
-        up = lambda b: jnp.repeat(jnp.repeat(b, 2, -2), 2, -1)
-        bands = {"ll": up(ll)[None], "hl": up(hl)[None],
-                 "lh": up(lh)[None], "hh": up(hh)[None]}
+        @jax.jit
+        def dwt_bands(z):
+            ll, hl, lh, hh = wavelet.dwt2(z[0])
+            up = lambda b: jnp.repeat(jnp.repeat(b, 2, -2), 2, -1)
+            return tuple(up(b)[None] for b in (ll, hl, lh, hh))
+        bands = dict(zip(("ll", "hl", "lh", "hh"), dwt_bands(z)))
 
     for band, lat in bands.items():
-        video = vae_mod.vae_decode(vae, vae_params, lat)[0]
-        out = np.asarray(vae_mod.latents_to_rgb(video))
+        out = np.asarray(vae_mod.vae_decode_rgb_jit(vae, vae_params, lat)[0])
         path = os.path.join(args.output_dir,
                             f"{name}_{args.mode}_{band}.mp4")
         vio.write_video(path, out, fps=args.fps)

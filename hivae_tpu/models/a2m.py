@@ -403,3 +403,10 @@ def sample(model, params, key, ref_motion, frames: int,
                            **cond)
 
     return rf.euler_sample(vel_fn, z0, step_seq)
+
+
+# Jitted entry point (module static, params traced; frame/step counts shape
+# the trace). Used by the audio->video pipeline so each window reuses one
+# compiled program instead of dispatching eagerly op-by-op.
+sample_jit = jax.jit(sample, static_argnums=(0,),
+                     static_argnames=("frames", "sample_step"))

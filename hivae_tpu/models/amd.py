@@ -809,3 +809,26 @@ AMD_MODELS = {
     "AMD_S_Rec": AMD_S_Rec,
     "AMD_S_RecSplit": AMD_S_RecSplit,
 }
+
+
+# -----------------------------------------------------------------------------
+# Jitted entry points for pipelines/CLIs: the module is static (hashable
+# frozen dataclass), params/keys/latents stay traced so weights are program
+# arguments rather than embedded HLO constants. Step counts and mask ratios
+# shape the trace, so they are static too.
+# -----------------------------------------------------------------------------
+
+
+def extract_motion(model: nn.Module, params, video: jax.Array):
+    """Frozen-model motion extraction (reference ``extract_motion``)."""
+    return model.apply(params, video, method="extract_motion")
+
+
+extract_motion_jit = jax.jit(extract_motion, static_argnums=(0,))
+sample_jit = jax.jit(sample, static_argnums=(0,), static_argnames=(
+    "sample_step", "start_step", "camera_mask_ratio", "object_mask_ratio"))
+sample_with_refimg_motion_jit = jax.jit(
+    sample_with_refimg_motion, static_argnums=(0,),
+    static_argnames=("sample_step",))
+sample_cross_jit = jax.jit(sample_cross, static_argnums=(0,), static_argnames=(
+    "sample_step", "start_step", "camera_mask_ratio", "object_mask_ratio"))

@@ -156,3 +156,20 @@ def latents_to_rgb(img: jax.Array) -> jax.Array:
     """[-1,1] float -> [0,255] uint8 (reference ``latents_to_videos``)."""
     img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
     return (img * 255).astype(jnp.uint8)
+
+
+def vae_decode_rgb(vae: AutoencoderKL, params, latents: jax.Array,
+                   scale: float = SD_VAE_SCALE) -> jax.Array:
+    """Decode + quantize in one program so hosts fetch uint8, not bf16."""
+    return latents_to_rgb(vae_decode(vae, params, latents, scale))
+
+
+# Jitted entry points for pipelines/CLIs. The module is a static argument
+# (hashable frozen dataclass) and params stay traced arguments — closing over
+# them would bake ~80M weights into the HLO as constants.
+vae_encode_jit = jax.jit(vae_encode, static_argnums=(0,),
+                         static_argnames=("scale",))
+vae_decode_jit = jax.jit(vae_decode, static_argnums=(0,),
+                         static_argnames=("scale",))
+vae_decode_rgb_jit = jax.jit(vae_decode_rgb, static_argnums=(0,),
+                             static_argnames=("scale",))

@@ -34,8 +34,11 @@ def create_mesh(shape: Optional[Tuple[int, int, int]] = None,
     n = devices.size
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
-    assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
-    return Mesh(devices.reshape(shape), axis_names)
+    want = int(np.prod(shape))
+    assert want <= n, f"mesh {shape} needs {want} devices, have {n}"
+    # a mesh smaller than the host's device count (e.g. a 1-device mesh on
+    # an 8-device test host) takes the leading devices
+    return Mesh(devices.flat[:want].reshape(shape), axis_names)
 
 
 def local_mesh(axis_names: Sequence[str] = AXES) -> Mesh:

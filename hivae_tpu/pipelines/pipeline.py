@@ -67,28 +67,28 @@ class AMDReconstructionPipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         pixels, grey = self._load_clip(video_path, fps)
 
-        z = vae_mod.vae_encode(self.vae, self.vae_params,
+        z = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                jnp.asarray(pixels)[None])[0]
         refimg_z, gt_video_z = z[:1], z[1:][None]
         ref = jnp.broadcast_to(refimg_z[:, None], gt_video_z.shape)
 
         grey_kw = {}
         if self.use_grey:
-            gz = vae_mod.vae_encode(self.vae, self.vae_params,
+            gz = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                     jnp.asarray(grey)[None])[0]
             grey_kw = dict(
                 video_grey=gz[1:][None],
                 ref_img_grey=jnp.broadcast_to(gz[:1][None], gt_video_z.shape))
 
-        _, video_pre, _ = amd_mod.sample(
+        _, video_pre, _ = amd_mod.sample_jit(
             self.amd_model, self.amd_params, key, gt_video_z, ref,
             sample_step=video_sample_step,
             camera_mask_ratio=camera_mask_ratio,
             object_mask_ratio=object_mask_ratio, **grey_kw)
 
         result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
-        imgs = vae_mod.vae_decode(self.vae, self.vae_params, result)[0]
-        out = np.asarray(vae_mod.latents_to_rgb(imgs))
+        out = np.asarray(vae_mod.vae_decode_rgb_jit(
+            self.vae, self.vae_params, result)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -105,28 +105,28 @@ class AMDCrossVideoPipeline(AMDReconstructionPipeline):
         pix1, grey1 = self._load_clip(video_path_1, fps)
         pix2, grey2 = self._load_clip(video_path_2, fps)
 
-        z1 = vae_mod.vae_encode(self.vae, self.vae_params,
+        z1 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                 jnp.asarray(pix1)[None])[0]
-        z2 = vae_mod.vae_encode(self.vae, self.vae_params,
+        z2 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                 jnp.asarray(pix2)[None])[0]
         ref = jnp.broadcast_to(z2[:1][None][:, :1], z2[1:][None].shape)
         kw = {}
         if self.use_grey:
-            g1 = vae_mod.vae_encode(self.vae, self.vae_params,
+            g1 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                     jnp.asarray(grey1)[None])[0]
-            g2 = vae_mod.vae_encode(self.vae, self.vae_params,
+            g2 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                     jnp.asarray(grey2)[None])[0]
             kw = dict(video_grey_1=g1[1:][None], video_grey_2=g2[1:][None],
                       ref_img_grey=jnp.broadcast_to(
                           g2[:1][None][:, :1], g2[1:][None].shape))
 
-        _, video_pre, _ = amd_mod.sample_cross(
+        _, video_pre, _ = amd_mod.sample_cross_jit(
             self.amd_model, self.amd_params, key, z1[1:][None], z2[1:][None],
             ref, sample_step=video_sample_step, **kw)
 
         result = jnp.concatenate([z2[:1][None], video_pre], axis=1)
-        imgs = vae_mod.vae_decode(self.vae, self.vae_params, result)[0]
-        out = np.asarray(vae_mod.latents_to_rgb(imgs))
+        out = np.asarray(vae_mod.vae_decode_rgb_jit(
+            self.vae, self.vae_params, result)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -160,7 +160,7 @@ class GTMotionAblationPipeline:
                                          start_index=0)
         frames = vio.read_video_frames(video_path, idx)
         pixels = vio.pixel_transform(frames, self.sample_size)
-        z = vae_mod.vae_encode(self.vae, self.vae_params,
+        z = vae_mod.vae_encode_jit(self.vae, self.vae_params,
                                jnp.asarray(pixels)[None])
         ref_z, gt_z = z[:, :1], z[:, 1:]
 
@@ -168,18 +168,18 @@ class GTMotionAblationPipeline:
         for i in range(num_windows):
             key, kv = jax.random.split(key)
             cur_gt = gt_z[:, i * w:(i + 1) * w]
-            motion = self.amd_model.apply(self.amd_params, cur_gt,
-                                          method="extract_motion")
+            motion = amd_mod.extract_motion_jit(
+                self.amd_model, self.amd_params, cur_gt)
             m2v_ref = ref_z[:, 0] if pre_video is None else pre_video[:, -1]
-            _, video_pre = amd_mod.sample_with_refimg_motion(
+            _, video_pre = amd_mod.sample_with_refimg_motion_jit(
                 self.amd_model, self.amd_params, kv, m2v_ref, motion,
                 sample_step=video_sample_step)
             pre_video = video_pre if pre_video is None else jnp.concatenate(
                 [pre_video, video_pre], axis=1)
 
         result = jnp.concatenate([ref_z, pre_video], axis=1)
-        imgs = vae_mod.vae_decode(self.vae, self.vae_params, result)[0]
-        out = np.asarray(vae_mod.latents_to_rgb(imgs))
+        out = np.asarray(vae_mod.vae_decode_rgb_jit(
+            self.vae, self.vae_params, result)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -227,7 +227,7 @@ class ImageAudio2VideoPipeline:
         w, r = self.window, self.ref_frames
 
         ref_img = self._pad_ref(ref_img)
-        ref_z = vae_mod.vae_encode(self.vae, self.vae_params, ref_img)
+        ref_z = vae_mod.vae_encode_jit(self.vae, self.vae_params, ref_img)
         random_ref = ref_z[:, -1]
 
         pre_motion = None
@@ -240,8 +240,8 @@ class ImageAudio2VideoPipeline:
             key, km, kv = jax.random.split(key, 3)
             s, e = i * w, (i + 1) * w
             if i == 0:
-                ref_motion = self.amd_model.apply(
-                    self.amd_params, ref_z, method="extract_motion")
+                ref_motion = amd_mod.extract_motion_jit(
+                    self.amd_model, self.amd_params, ref_z)
                 cur_ref_audio = self._pad_ref(ref_audio)
             else:
                 ref_motion = pre_motion[:, -r:]
@@ -251,7 +251,7 @@ class ImageAudio2VideoPipeline:
                                              cur_ref_audio,
                                              motion_sample_step)
             m2v_ref = random_ref if i == 0 else pre_video[:, -1]
-            _, video_pre = amd_mod.sample_with_refimg_motion(
+            _, video_pre = amd_mod.sample_with_refimg_motion_jit(
                 self.amd_model, self.amd_params, kv, m2v_ref, motion_pre,
                 sample_step=video_sample_step)
 
@@ -268,7 +268,7 @@ class ImageAudio2VideoPipeline:
             motion_pre = self._sample_motion(km, ref_motion, audio[:, s:e],
                                              audio[:, s - r:s],
                                              motion_sample_step)
-            _, video_pre = amd_mod.sample_with_refimg_motion(
+            _, video_pre = amd_mod.sample_with_refimg_motion_jit(
                 self.amd_model, self.amd_params, kv, pre_video[:, s - 1],
                 motion_pre, sample_step=video_sample_step)
             pre_motion = jnp.concatenate([pre_motion[:, :s], motion_pre], axis=1)
@@ -279,7 +279,7 @@ class ImageAudio2VideoPipeline:
     def _sample_motion(self, key, ref_motion, audio, ref_audio, steps):
         """One A2M sampling call; ref motion reduced to the last frame's
         tokens (the cross-attn A2M conditions on a single ref-motion set)."""
-        return a2m_mod.sample(
+        return a2m_mod.sample_jit(
             self.a2m_model, self.a2m_params, key, ref_motion[:, -1],
             frames=audio.shape[1], sample_step=steps, audio=audio,
             ref_audio=ref_audio[:, -1])
@@ -299,8 +299,8 @@ class ImageAudio2VideoPipeline:
 
         latents = self.predict(ref_img, audio_emb[:, :1], audio_emb[:, 1:],
                                motion_sample_step, video_sample_step, key=key)
-        video = vae_mod.vae_decode(self.vae, self.vae_params, latents)[0]
-        out = np.asarray(vae_mod.latents_to_rgb(video))
+        out = np.asarray(vae_mod.vae_decode_rgb_jit(
+            self.vae, self.vae_params, latents)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out

@@ -81,7 +81,8 @@ def main():
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     from hivae_tpu.utils.misc import init_on_cpu
     vae_params = init_on_cpu(lambda: vae.init(
-        key, jnp.zeros((1, 3, args.sample_size, args.sample_size))))
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 3, args.sample_size, args.sample_size))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,
@@ -93,13 +94,18 @@ def main():
     with open(args.a2m_config) as f:
         spec = json.load(f)
     a2m_model, a2m_cfg = build_a2m(spec, dtype)
-    motion = jnp.zeros((1, args.video_frames, a2m_cfg.motion_num_token,
-                        a2m_cfg.motion_in_channel))
-    audio = jnp.zeros((1, args.video_frames, a2m_cfg.audio_block,
-                       a2m_cfg.audio_inchannel))
-    a2m_params = init_on_cpu(lambda: a2m_model.init(
-        {"params": key, "noise": key}, motion, motion[:, 0], audio=audio,
-        ref_audio=audio[:, 0]))
+    def _init_a2m():
+        # inputs built inside the CPU scope to avoid cross-backend copies
+        motion = jnp.zeros((1, args.video_frames, a2m_cfg.motion_num_token,
+                            a2m_cfg.motion_in_channel))
+        audio = jnp.zeros((1, args.video_frames, a2m_cfg.audio_block,
+                           a2m_cfg.audio_inchannel))
+        k = jax.random.PRNGKey(args.seed)
+        return a2m_model.init({"params": k, "noise": k}, motion,
+                              motion[:, 0], audio=audio,
+                              ref_audio=audio[:, 0])
+
+    a2m_params = init_on_cpu(_init_a2m)
     ckpt_lib.save_config(spec, out_dir)
 
     dataset = VideoAudioDataset(args.video_dir,

@@ -149,15 +149,22 @@ def main():
 
     # model + vae
     model = build_model(args, dtype)
-    key = jax.random.PRNGKey(args.seed)
-    lat = args.image_height
-    dummy = jnp.zeros((1, args.video_frames, 4, lat, lat))
-    init_kw = {}
-    if getattr(model.cfg, "use_grey", False):
-        init_kw = dict(video_grey=dummy, ref_img_grey=dummy)
     from hivae_tpu.utils.misc import init_on_cpu
-    params = init_on_cpu(lambda: model.init({"params": key, "noise": key},
-                                            dummy, dummy, **init_kw))
+
+    def _init_model():
+        # inputs built inside the CPU scope: mixing device-resident arrays
+        # into a CPU-eager init forces cross-backend copies.
+        key = jax.random.PRNGKey(args.seed)
+        lat = args.image_height
+        dummy = jnp.zeros((1, args.video_frames, 4, lat, lat))
+        init_kw = {}
+        if getattr(model.cfg, "use_grey", False):
+            init_kw = dict(video_grey=dummy, ref_img_grey=dummy)
+        return model.init({"params": key, "noise": key}, dummy, dummy,
+                          **init_kw)
+
+    params = init_on_cpu(_init_model)
+    key = jax.random.PRNGKey(args.seed)
     if args.pretrain_path:
         params, report = ckpt_lib.load_pretrain_partial(params,
                                                         args.pretrain_path)
@@ -169,7 +176,8 @@ def main():
 
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     vae_params = init_on_cpu(lambda: vae.init(
-        key, jnp.zeros((1, 3, args.sample_size, args.sample_size))))
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 3, args.sample_size, args.sample_size))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,

@@ -48,13 +48,15 @@ def main():
 
     model = mae_mod.MAE_MODELS[args.model_type](
         dtype=dtype, norm_pix_loss=args.norm_pix_loss)
-    x = jnp.zeros((1, 4, 32, 32))
     from hivae_tpu.utils.misc import init_on_cpu
-    params = init_on_cpu(lambda: model.init({"params": key, "mask": key}, x))
+    params = init_on_cpu(lambda: model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "mask": jax.random.PRNGKey(args.seed)}, jnp.zeros((1, 4, 32, 32))))
 
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     vae_params = init_on_cpu(lambda: vae.init(
-        key, jnp.zeros((1, 3, args.sample_size, args.sample_size))))
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 3, args.sample_size, args.sample_size))))
     if args.vae_ckpt:
         from hivae_tpu.utils.torch_convert import (convert_torch_state,
                                                    load_safetensors,

@@ -72,15 +72,19 @@ def main():
                                        **overrides})
     model = t2m_mod.Label2MotionDiffusionDecoder(cfg=cfg, dtype=dtype)
 
-    n, t = 1, args.video_frames
-    cam = jnp.zeros((n, t, cfg.camera_token_num, cfg.camera_channel))
-    obj = jnp.zeros((n * t, cfg.object_token_num, cfg.object_channel))
-    label = jnp.zeros((n,), jnp.int32)
-    ref = jnp.zeros((n, t, cfg.refimg_dim, cfg.refimg_height,
-                     cfg.refimg_width))
-    ts = jnp.zeros((n,))
-    params = init_on_cpu(lambda: model.init(
-        {"params": key, "noise": key}, cam, obj, label, ref, ts))
+    def _init_model():
+        # inputs built inside the CPU scope to avoid cross-backend copies
+        n, t = 1, args.video_frames
+        cam = jnp.zeros((n, t, cfg.camera_token_num, cfg.camera_channel))
+        obj = jnp.zeros((n * t, cfg.object_token_num, cfg.object_channel))
+        label = jnp.zeros((n,), jnp.int32)
+        ref = jnp.zeros((n, t, cfg.refimg_dim, cfg.refimg_height,
+                         cfg.refimg_width))
+        k = jax.random.PRNGKey(args.seed)
+        return model.init({"params": k, "noise": k}, cam, obj, label, ref,
+                          jnp.zeros((n,)))
+
+    params = init_on_cpu(_init_model)
     ckpt_lib.save_config(cfg.to_dict(), out_dir)
 
     dataset = LabelVideoDataset(args.video_dir,
