@@ -254,6 +254,10 @@ class A2MConfig:
     diffusion_attn_head_dim: int = 64
     diffusion_attn_num_heads: int = 16
     diffusion_num_layers: int = 8
+    # audio->pose predictor head (PosePre variant)
+    pose_predictor_attn_head_dim: int = 64
+    pose_predictor_attn_num_heads: int = 8
+    pose_predictor_attn_num_layers: int = 4
 
     @classmethod
     def from_dict(cls, d):
@@ -334,6 +338,96 @@ class A2MModelCrossAttnAudio(nn.Module):
 
     def conditions(self, audio=None, ref_audio=None, pose=None, ref_pose=None):
         return self._conditions(audio, ref_audio, pose, ref_pose)
+
+
+class A2MModelPosePre(nn.Module):
+    """Audio->motion head with a jointly-trained audio->pose predictor
+    (reference ``A2MModel_CrossAtten_Audio_PosePre:1218-1420``).
+
+    The decoder's pose conditioning is *predicted* from (ref_pose, audio) by
+    an ``A2PTransformer`` rather than taken from ground truth, so sampling
+    needs only one reference pose frame; training adds a mask-weighted pose
+    MSE on top of the velocity loss (reference ``:1350-1356``). Note: the
+    reference passes head-count/head-dim to its A2PTransformer swapped
+    (``:1275-1276``); here they are wired by name.
+    """
+
+    cfg: A2MConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.audio_encoder = AudioFeatureWindowMlp(
+            intermediate_dim=c.intermediate_dim,
+            window_size=c.window_size, outdim=c.encoder_out_dim,
+            dtype=self.dtype)
+        self.pose_predictor = A2PTransformer(
+            audio_in_channels=c.encoder_out_dim,
+            pose_height=c.pose_height, pose_width=c.pose_width,
+            pose_inchannel=c.pose_inchannel,
+            pose_patch_size=c.pose_patch_size,
+            heads=c.pose_predictor_attn_num_heads,
+            head_dim=c.pose_predictor_attn_head_dim,
+            num_layers=c.pose_predictor_attn_num_layers, dtype=self.dtype)
+        self.diffusion = A2MTransformerCrossAttnAudio(
+            motion_num_token=c.motion_num_token,
+            motion_inchannel=c.motion_in_channel,
+            motion_frames=c.motion_frames,
+            audio_in_channels=c.encoder_out_dim,
+            out_channels=c.motion_in_channel,
+            heads=c.diffusion_attn_num_heads,
+            head_dim=c.diffusion_attn_head_dim,
+            num_layers=c.diffusion_num_layers,
+            use_pose=True, use_audio=True,
+            pose_height=c.pose_height, pose_width=c.pose_width,
+            pose_patch_size=c.pose_patch_size, dtype=self.dtype)
+
+    def _conditions(self, audio, ref_audio, ref_pose):
+        mix_audio = jnp.concatenate([ref_audio[:, None], audio], axis=1)
+        audio_feature = self.audio_encoder(mix_audio)       # (N,F+1,W,D)
+        mix_pose_pre = self.pose_predictor(ref_pose, audio_feature)
+        return {"audio": audio_feature, "pose": mix_pose_pre}
+
+    def __call__(self, motion_gt, ref_motion, audio=None, ref_audio=None,
+                 pose=None, ref_pose=None, mask=None, timestep=None):
+        """``pose`` is the GT pose video (N,F,C,H,W) for the auxiliary loss;
+        returns {loss, diff_loss, pose_loss}."""
+        c = self.cfg
+        n, f, l, d = motion_gt.shape
+        cond = self._conditions(audio, ref_audio, ref_pose)
+
+        kt, kz = jax.random.split(self.make_rng("noise"))
+        if timestep is None:
+            timestep = jax.random.randint(kt, (n,), 0, c.num_step + 1)
+        z0 = jax.random.normal(kz, motion_gt.shape, motion_gt.dtype)
+        zt, vel_gt = rf.get_train_tuple(motion_gt, timestep, z0,
+                                        num_steps=c.num_step)
+        vel_pred = self.diffusion(zt, ref_motion,
+                                  timestep=timestep.astype(jnp.float32),
+                                  **cond)
+        if mask is None:
+            mask = jnp.ones((n, f))
+        diff = jnp.mean(jnp.square(vel_pred.astype(jnp.float32) -
+                                   vel_gt.astype(jnp.float32)), axis=(2, 3))
+        diff_loss = jnp.sum(diff * mask) / jnp.sum(mask)
+
+        pose_pre = cond["pose"][:, 1:]                       # drop ref frame
+        perr = jnp.mean(jnp.square(pose_pre.astype(jnp.float32) -
+                                   pose.astype(jnp.float32)), axis=(2, 3, 4))
+        pose_loss = jnp.sum(perr * mask) / jnp.sum(mask)
+        return {"loss": diff_loss + pose_loss, "diff_loss": diff_loss,
+                "pose_loss": pose_loss}
+
+    def velocity(self, zt, ref_motion, timestep, **cond):
+        return self.diffusion(zt, ref_motion, timestep=timestep, **cond)
+
+    def conditions(self, audio=None, ref_audio=None, pose=None,
+                   ref_pose=None):
+        return self._conditions(audio, ref_audio, ref_pose)
+
+    def predict_pose(self, audio, ref_audio, ref_pose):
+        """Pose-only path (the reference's ``vis.py`` visualization surface)."""
+        return self._conditions(audio, ref_audio, ref_pose)["pose"]
 
 
 class A2MModelLearnableToken(nn.Module):

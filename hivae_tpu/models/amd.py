@@ -455,6 +455,13 @@ class AMDModel(nn.Module):
                                                        mask_ratio)
             camera_motion = self.camera_motion_encoder(cam_in, mask_ratio)
 
+        return self._split_project(object_motion, camera_motion, n, t)
+
+    def _split_project(self, object_motion, camera_motion, n, t):
+        """Split encoder outputs into source/target halves and project to the
+        shared motion channel (tail of reference ``AMDModel.forward``)."""
+        c = self.cfg
+
         def flat(m):
             return m.reshape((n * t,) + m.shape[2:])
 
@@ -486,6 +493,27 @@ class AMDModel(nn.Module):
         return dict(camera_source=camera_source, camera_target=camera_target,
                     object_source=object_source, object_target=object_target,
                     kl_loss=kl_loss)
+
+    def encode_diff_motion(self, video, ref_img, video_grey, ref_img_grey,
+                           camera_video_grey, mask_ratio=None):
+        """Motion encoding with the camera band taken from a *different*
+        clip (reference ``AMDModel.sample_diff_motion:598-662``): HF/object
+        from the subject's grey stream, LF/camera from ``camera_video_grey``,
+        both at the fixed 0.4 cutoff the reference hardcodes here."""
+        c = self.cfg
+        n, t = video.shape[:2]
+        hf_src = (jnp.concatenate([ref_img_grey, video_grey], axis=1)
+                  if c.use_grey else jnp.concatenate([ref_img, video], axis=1))
+        lf_src = jnp.concatenate([ref_img, camera_video_grey], axis=1)
+        _, hf = _band_split(hf_src, 0.4, 0.4)
+        lf, _ = _band_split(lf_src, 0.4, 0.4)
+        if c.use_camera_down:
+            b = lf.reshape((n * 2 * t,) + lf.shape[2:])
+            b = self.camera_down(b)
+            lf = b.reshape((n, 2 * t) + b.shape[1:])
+        object_motion = self.object_motion_encoder(hf, mask_ratio)
+        camera_motion = self.camera_motion_encoder(lf, mask_ratio)
+        return self._split_project(object_motion, camera_motion, n, t)
 
     def extract_motion(self, video):
         motion = self.object_motion_encoder(video)
@@ -741,6 +769,35 @@ def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
     return unflat(zi), unflat(zt), unflat(zj)
 
 
+def sample_diff_motion(model, params, key: jax.Array, video, ref_img,
+                       video_grey=None, ref_img_grey=None,
+                       camera_video_grey=None, sample_step: int = 50,
+                       start_step: Optional[int] = None,
+                       mask_ratio=None):
+    """Reconstruct ``video`` but drive the camera/LF stream with motion from
+    a different clip (reference ``AMDModel.sample_diff_motion:598-757``).
+
+    Returns (zi, sample, zj) each (N, T, C, H, W).
+    """
+    cfg: AMDConfig = model.cfg
+    n, t = video.shape[:2]
+    start = cfg.scheduler_num_step if start_step is None else start_step
+
+    kenc, knoise = jax.random.split(key)
+    motions = model.apply(params, video, ref_img, video_grey, ref_img_grey,
+                          camera_video_grey, mask_ratio,
+                          method="encode_diff_motion",
+                          rngs={"mask": kenc, "noise_kl": kenc})
+    motions.pop("kl_loss", None)
+
+    zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+    zj = video.reshape((n * t,) + video.shape[2:])
+    z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    unflat = lambda x: x.reshape((n, t) + x.shape[1:])
+    return unflat(zi), unflat(zt), unflat(zj)
+
+
 def _euler_decode(model, params, zi, z0, motions, sample_step, start_step):
     step_seq = rf.sample_step_sequence(sample_step, start_step)
 
@@ -785,6 +842,19 @@ def AMD_L(dtype=jnp.float32, **kw) -> AMDModel:
                              diffusion_num_layers=16, **kw), dtype=dtype)
 
 
+def AMD_S_Camera(dtype=jnp.float32, **kw) -> AMDModelNew:
+    """Camera-only variant (reference ``AMDModel_Camera:894-1661`` /
+    ``AMD_S_Camera:3152``). The legacy class is a single-stream copy of the
+    dual model, so here it's the unified model with the object stream off."""
+    kw.setdefault("use_object", False)
+    kw.setdefault("use_camera", True)
+    return AMDModelNew(cfg=_cfg(enc_nhead=8, enc_ndim=64,
+                                diffusion_attn_head_dim=64,
+                                diffusion_attn_num_heads=16,
+                                diffusion_out_channels=4,
+                                diffusion_num_layers=12, **kw), dtype=dtype)
+
+
 def AMD_S_Rec(dtype=jnp.float32, **kw) -> AMDModelRec:
     return AMDModelRec(cfg=_cfg(enc_nhead=8, enc_ndim=64,
                                 diffusion_attn_head_dim=64,
@@ -804,6 +874,7 @@ def AMD_S_RecSplit(dtype=jnp.float32, **kw) -> AMDModelRec:
 
 AMD_MODELS = {
     "AMD_S": AMD_S,  # ~250M
+    "AMD_S_Camera": AMD_S_Camera,
     "AMD_N": AMD_N,
     "AMD_L": AMD_L,  # ~700M
     "AMD_S_Rec": AMD_S_Rec,
@@ -830,5 +901,8 @@ sample_jit = jax.jit(sample, static_argnums=(0,), static_argnames=(
 sample_with_refimg_motion_jit = jax.jit(
     sample_with_refimg_motion, static_argnums=(0,),
     static_argnames=("sample_step",))
+sample_diff_motion_jit = jax.jit(sample_diff_motion, static_argnums=(0,),
+                                 static_argnames=("sample_step", "start_step",
+                                                  "mask_ratio"))
 sample_cross_jit = jax.jit(sample_cross, static_argnums=(0,), static_argnames=(
     "sample_step", "start_step", "camera_mask_ratio", "object_mask_ratio"))

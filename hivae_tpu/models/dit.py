@@ -463,14 +463,15 @@ class VelocityDiTImgSpatial(_DiTBase):
                 obj_src = motion_embed(object_motion_source) + mpos[:, 1:l + 1]
                 obj_tgt = obj_src + mpos[:, l + 2:msl]  # reference :2265
                 motion = cam
-                for i in range(self.camera_until):
+                for i in range(min(self.camera_until, self.num_layers)):
                     motion, img = run_layer(i, motion, img)
                 if camera_motion_source is not None:
                     s_tok, t_tok = motion[:, 0:1], motion[:, l + 1:l + 2]
                 else:
                     s_tok, t_tok = src_tok, motion[:, 0:1]
                 motion = jnp.concatenate([s_tok, obj_src, t_tok, obj_tgt], axis=1)
-                for i in range(self.object_from, self.num_layers):
+                for i in range(min(self.object_from, self.num_layers),
+                               self.num_layers):
                     motion, img = run_layer(i, motion, img)
 
         return self._head(img, emb, hi, wi)

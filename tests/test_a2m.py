@@ -81,3 +81,39 @@ class TestA2P:
         p = m.init(KEY, ref_pose, audio)
         out = m.apply(p, ref_pose, audio)
         assert out.shape == (2, 4, 4, 16, 16)
+
+
+class TestPosePre:
+    def test_forward_sample_and_pose_head(self):
+        """Joint audio->pose predictor variant (reference
+        ``A2MModel_CrossAtten_Audio_PosePre:1218-1420``)."""
+        from hivae_tpu.models import a2m
+
+        cfg = a2m.A2MConfig(
+            audio_inchannel=16, audio_block=5, motion_num_token=4,
+            motion_in_channel=32, motion_frames=4, intermediate_dim=64,
+            window_size=4, encoder_out_dim=32, pose_height=8, pose_width=8,
+            pose_patch_size=2, diffusion_attn_head_dim=16,
+            diffusion_attn_num_heads=2, diffusion_num_layers=2,
+            pose_predictor_attn_head_dim=16, pose_predictor_attn_num_heads=2,
+            pose_predictor_attn_num_layers=1)
+        model = a2m.A2MModelPosePre(cfg=cfg)
+        k = jax.random.PRNGKey(0)
+        motion = jax.random.normal(k, (2, 4, 4, 32))
+        audio = jax.random.normal(k, (2, 4, 5, 16))
+        pose = jax.random.normal(k, (2, 4, 4, 8, 8))
+        params = model.init({"params": k, "noise": k}, motion, motion[:, 0],
+                            audio=audio, ref_audio=audio[:, 0], pose=pose,
+                            ref_pose=pose[:, 0])
+        ld = model.apply(params, motion, motion[:, 0], audio=audio,
+                         ref_audio=audio[:, 0], pose=pose,
+                         ref_pose=pose[:, 0], rngs={"noise": k})
+        assert set(ld) == {"loss", "diff_loss", "pose_loss"}
+        assert np.isfinite(float(ld["loss"]))
+        out = a2m.sample(model, params, k, motion[:, 0], frames=4,
+                         sample_step=2, audio=audio, ref_audio=audio[:, 0],
+                         ref_pose=pose[:, 0])
+        assert out.shape == motion.shape
+        pp = model.apply(params, audio, audio[:, 0], pose[:, 0],
+                         method="predict_pose")
+        assert pp.shape == (2, 5, 4, 8, 8)

@@ -128,3 +128,47 @@ class TestParamCounts:
         d["_class_name"] = "AMDModel_New"
         cfg2 = amd.AMDConfig.from_dict(d)
         assert cfg2 == cfg
+
+
+class TestDiffMotionAndCamera:
+    def test_sample_diff_motion(self):
+        """Camera stream from a different clip (reference
+        ``AMDModel.sample_diff_motion:598-757``)."""
+        # decouple mode: camera tokens drive the early DiT layers (in the
+        # reference's spatial 'plus' mode the camera stream is unused by
+        # design — transformer.py:2235-2247 feeds object tokens only).
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True,
+                            use_motiontemporal=False, use_camera_down=True,
+                            motion_type="decouple",
+                            diffusion_model_type="spatial", **TINY)
+        model = amd.AMDModel(cfg=cfg)
+        video, ref = _data()
+        other = jax.random.normal(jax.random.PRNGKey(7), video.shape)
+        params = model.init({"params": KEY, "noise": KEY, "noise_kl": KEY},
+                            video, ref, video, ref)
+        zi, zt, zj = amd.sample_diff_motion(model, params, KEY, video, ref,
+                                            video, ref, other, sample_step=2)
+        assert zt.shape == video.shape
+        assert bool(jnp.all(jnp.isfinite(zt)))
+        # swapping the camera source must change the output
+        zt2 = amd.sample_diff_motion(model, params, KEY, video, ref, video,
+                                     ref, video, sample_step=2)[1]
+        assert float(jnp.abs(zt - zt2).max()) > 1e-6
+
+    def test_camera_only_factory(self):
+        factory_set = {"enc_nhead", "enc_ndim", "diffusion_attn_head_dim",
+                       "diffusion_attn_num_heads", "diffusion_num_layers"}
+        kw = {k: v for k, v in TINY.items() if k not in factory_set}
+        model = amd.AMD_MODELS["AMD_S_Camera"](
+            use_filter=True, use_grey=True,
+            diffusion_model_type="spatial", **kw)
+        assert model.cfg.use_object is False and model.cfg.use_camera
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        names = jax.tree_util.tree_leaves_with_path(params)
+        flat = "".join(str(p) for p, _ in names)
+        assert "object_motion_encoder" not in flat
+        _, _, ld = model.apply(params, video, ref, video, ref,
+                               rngs={"noise": KEY})
+        assert np.isfinite(float(ld["loss"]))

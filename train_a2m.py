@@ -52,6 +52,8 @@ def build_a2m(spec, dtype):
             cfg=cfg, dtype=dtype),
         "A2MModel_SimpleAdaLN": lambda: a2m.A2MModelLearnableToken(
             cfg=cfg, simple_adaln=True, dtype=dtype),
+        "A2MModel_CrossAtten_Audio_PosePre": lambda: a2m.A2MModelPosePre(
+            cfg=cfg, dtype=dtype),
     }
     return table[model_type](), cfg
 
@@ -130,11 +132,19 @@ def main():
         ref_motion = amd_model.apply(amd_params, ref_z[:, :1],
                                      method="extract_motion")[:, 0]
 
+        pose_kw = {}
+        if "gt_pose" in batch:  # DWPose stream, VAE-encoded like the video
+            pose_kw = dict(
+                pose=vae_mod.vae_encode(vae, vae_params, batch["gt_pose"], kv),
+                ref_pose=vae_mod.vae_encode(
+                    vae, vae_params, batch["ref_pose"][:, None], kv)[:, 0])
+
         def loss_fn(params):
             ld = a2m_model.apply(params, motion_gt, ref_motion,
                                  audio=batch["gt_audio"],
                                  ref_audio=batch["ref_audio"],
-                                 mask=batch["mask"], rngs={"noise": kn})
+                                 mask=batch["mask"], **pose_kw,
+                                 rngs={"noise": kn})
             return ld["loss"], ld
 
         (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
