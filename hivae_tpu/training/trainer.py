@@ -58,6 +58,10 @@ class TrainConfig:
     # perceptual loss: velocity MSE + w * LPIPS(decoded rec, GT pixels)
     # (reference LpipsMseLoss, model/loss.py:248-330); requires lpips params
     perceptual_weight: float = 0.0
+    # capture a jax.profiler trace for N steps (starting at profile_start,
+    # after warmup/compile) into <output_dir>/profile; 0 disables
+    profile_steps: int = 0
+    profile_start: int = 5
 
 
 class AMDTrainer:
@@ -171,6 +175,35 @@ class AMDTrainer:
 
     # -- loop ----------------------------------------------------------------
 
+    def _start_profile(self):
+        """Begin a jax.profiler trace (the reference has no profiler at all;
+        SURVEY §5.1 calls for trace hooks in the TPU build). Best-effort:
+        relayed runtimes may not support device traces."""
+        try:
+            import jax.profiler as jprof
+
+            self._profile_dir = os.path.join(self.config.output_dir,
+                                             "profile")
+            jprof.start_trace(self._profile_dir)
+            self._profiling = True
+        except Exception as e:  # pragma: no cover - backend dependent
+            print(f"profiler unavailable: {e}")
+            self._profiling = False
+
+    def _stop_profile(self, metrics):
+        if not getattr(self, "_profiling", False):
+            return
+        try:
+            import jax.profiler as jprof
+
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(),
+                                   metrics)
+            jprof.stop_trace()
+            print(f"profiler trace written to {self._profile_dir}")
+        except Exception as e:  # pragma: no cover
+            print(f"profiler stop failed: {e}")
+        self._profiling = False
+
     def fit(self, batches: Iterable[Dict[str, np.ndarray]],
             max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
@@ -200,9 +233,15 @@ class AMDTrainer:
                         k: jax.device_put(jnp.asarray(v), b_shard)
                         for k, v in batch.items()
                         if not isinstance(v, list)}
+                if (cfg.profile_steps and
+                        self.global_step == cfg.profile_start):
+                    self._start_profile()
                 self.state, metrics = self._step_fn(self.state, device_batch,
                                                     rng, self._frozen)
                 self.global_step += 1
+                if (cfg.profile_steps and self.global_step ==
+                        cfg.profile_start + cfg.profile_steps):
+                    self._stop_profile(metrics)
 
                 if cfg.sync_every and self.global_step % cfg.sync_every == 0:
                     float(metrics["loss"])

@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--checkpoint_total_limit", type=int, default=2)
     p.add_argument("--eval_interval_step", type=int, default=2000)
     p.add_argument("--resume_training", type=str2bool, default=False)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps")
     p.add_argument("--mesh", type=str, default=None,
                    help="data,fsdp,tensor e.g. '4,2,1'; default all-data")
     # model
@@ -209,7 +211,8 @@ def main():
         checkpoint_total_limit=args.checkpoint_total_limit, seed=args.seed,
         mesh_shape=mesh_shape, resume=args.resume_training,
         camera_mask_ratio=args.camera_mask_ratio,
-        object_mask_ratio=args.object_mask_ratio)
+        object_mask_ratio=args.object_mask_ratio,
+        profile_steps=args.profile_steps)
 
     tb = SummaryWriter(os.path.join(out_dir, "tracker")) \
         if jax.process_index() == 0 else None
