@@ -71,6 +71,9 @@ def load_amd(args, dtype):
 def main():
     args = parse_args()
 
+    from hivae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

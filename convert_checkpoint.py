@@ -64,6 +64,9 @@ def build_template(args):
 def main():
     args = parse_args()
 
+    from hivae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import orbax.checkpoint as ocp
 

@@ -32,6 +32,36 @@ from ..models import amd as amd_mod
 from ..models import vae as vae_mod
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0, 1),
+         static_argnames=("sample_step", "camera_mask_ratio",
+                          "object_mask_ratio", "use_grey"))
+def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
+                sample_step, camera_mask_ratio=None, object_mask_ratio=None,
+                use_grey=False):
+    """Whole-clip reconstruction as ONE program: encode -> split ref/target
+    -> motion sample -> decode -> uint8. A single dispatch per clip matters:
+    per-op eager dispatch costs seconds on relayed runtimes and forfeits
+    cross-stage fusion everywhere."""
+    z = vae_mod.vae_encode(vae, vae_params, pixels[None])[0]
+    refimg_z, gt_video_z = z[:1], z[1:][None]
+    ref = jnp.broadcast_to(refimg_z[:, None], gt_video_z.shape)
+    grey_kw = {}
+    if use_grey:
+        gz = vae_mod.vae_encode(vae, vae_params, grey[None])[0]
+        grey_kw = dict(
+            video_grey=gz[1:][None],
+            ref_img_grey=jnp.broadcast_to(gz[:1][None], gt_video_z.shape))
+    _, video_pre, _ = amd_mod.sample(
+        amd_model, amd_params, key, gt_video_z, ref,
+        sample_step=sample_step, camera_mask_ratio=camera_mask_ratio,
+        object_mask_ratio=object_mask_ratio, **grey_kw)
+    result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
+    return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+
+
 class AMDReconstructionPipeline:
     """Single-window video reconstruction through the motion bottleneck."""
 
@@ -67,28 +97,12 @@ class AMDReconstructionPipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         pixels, grey = self._load_clip(video_path, fps)
 
-        z = vae_mod.vae_encode_jit(self.vae, self.vae_params,
-                               jnp.asarray(pixels)[None])[0]
-        refimg_z, gt_video_z = z[:1], z[1:][None]
-        ref = jnp.broadcast_to(refimg_z[:, None], gt_video_z.shape)
-
-        grey_kw = {}
-        if self.use_grey:
-            gz = vae_mod.vae_encode_jit(self.vae, self.vae_params,
-                                    jnp.asarray(grey)[None])[0]
-            grey_kw = dict(
-                video_grey=gz[1:][None],
-                ref_img_grey=jnp.broadcast_to(gz[:1][None], gt_video_z.shape))
-
-        _, video_pre, _ = amd_mod.sample_jit(
-            self.amd_model, self.amd_params, key, gt_video_z, ref,
-            sample_step=video_sample_step,
+        out = np.asarray(_recon_clip(
+            self.vae, self.amd_model, self.vae_params, self.amd_params,
+            jnp.asarray(pixels), None if grey is None else jnp.asarray(grey),
+            key, sample_step=video_sample_step,
             camera_mask_ratio=camera_mask_ratio,
-            object_mask_ratio=object_mask_ratio, **grey_kw)
-
-        result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
-        out = np.asarray(vae_mod.vae_decode_rgb_jit(
-            self.vae, self.vae_params, result)[0])
+            object_mask_ratio=object_mask_ratio, use_grey=self.use_grey))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out

@@ -58,3 +58,36 @@ class TestTrainAMDCLI:
         out = tmp_path / "smoke"
         assert (out / "config.json").exists()
         assert (out / "checkpoints").exists()
+
+
+class TestBuildIndexCLI:
+    def test_builds_train_eval_pkls(self, video_dir, tmp_path, monkeypatch):
+        import pickle
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        import build_index
+
+        # sidecar audio embeddings for half the clips
+        emb_dir = tmp_path / "embs"
+        emb_dir.mkdir()
+        for i in range(4):
+            np.save(str(emb_dir / f"c{i}.npy"),
+                    np.zeros((9, 5, 8), np.float32))
+        out = tmp_path / "train.pkl"
+        ev = tmp_path / "eval.pkl"
+        monkeypatch.setattr(sys, "argv", [
+            "build_index.py", "--video_dir", video_dir,
+            "--audio_emb_dir", str(emb_dir), "--output", str(out),
+            "--eval_output", str(ev), "--eval_num", "1",
+            "--min_frames", "9"])
+        build_index.main()
+        train = pickle.load(open(out, "rb"))
+        evl = pickle.load(open(ev, "rb"))
+        # 4 have embeddings, 4 skipped; 1 held out for eval
+        assert len(train) == 3 and len(evl) == 1
+        assert all("audio_emb_path" in e for e in train + evl)
+        # and the entries are loadable by the dataset index reader
+        from hivae_tpu.data.datasets import list_videos
+        entries = list_videos(str(out))
+        assert len(entries) == 3

@@ -61,6 +61,9 @@ def build_a2m(spec, dtype):
 def main():
     args = parse_args()
 
+    from hivae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import optax

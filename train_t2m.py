@@ -34,6 +34,9 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from hivae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     import json
 
     import jax
