@@ -13,9 +13,12 @@ Capability parity with the reference pipelines (reference:
     as reference for the next window (the reference's long-video mechanism).
 
 TPU-first: host work (decode, resize, mp4 writing) stays in numpy/cv2/torch
-CPU; all device work runs through the jitted functional samplers in
-``models.amd`` / ``models.a2m`` with static shapes per window, so each
-window reuses one compiled program.
+CPU; ALL device work per clip/window is a single fused jitted program
+(``_recon_clip`` / ``_cross_clip`` / ``_a2v_window`` / ``_gt_motion_window``)
+with static shapes, so the autoregressive loop is one dispatch per window
+and XLA fuses across the encode -> sample -> decode seams. Modules are
+static jit arguments; parameters stay traced (weights are program
+arguments, not HLO constants).
 """
 
 from __future__ import annotations
@@ -60,6 +63,55 @@ def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
         object_mask_ratio=object_mask_ratio, **grey_kw)
     result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
     return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+
+
+@partial(jax.jit, static_argnums=(0, 1),
+         static_argnames=("sample_step", "use_grey"))
+def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
+                grey2, key, sample_step, use_grey=False):
+    """Cross-video motion transfer as ONE program (motion from clip 1,
+    appearance from clip 2) — same single-dispatch rationale as
+    ``_recon_clip``."""
+    enc = lambda px: vae_mod.vae_encode(vae, vae_params, px[None])[0]
+    z1, z2 = enc(pix1), enc(pix2)
+    ref = jnp.broadcast_to(z2[:1][None][:, :1], z2[1:][None].shape)
+    kw = {}
+    if use_grey:
+        g1, g2 = enc(grey1), enc(grey2)
+        kw = dict(video_grey_1=g1[1:][None], video_grey_2=g2[1:][None],
+                  ref_img_grey=jnp.broadcast_to(
+                      g2[:1][None][:, :1], g2[1:][None].shape))
+    _, video_pre, _ = amd_mod.sample_cross(
+        amd_model, amd_params, key, z1[1:][None], z2[1:][None], ref,
+        sample_step=sample_step, **kw)
+    result = jnp.concatenate([z2[:1][None], video_pre], axis=1)
+    return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+
+
+@partial(jax.jit, static_argnums=(0, 1),
+         static_argnames=("motion_steps", "video_steps"))
+def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
+                audio, ref_audio, m2v_ref, km, kv, motion_steps, video_steps):
+    """One audio->video window (A2M motion sample + refimg-motion decode)
+    as one program — one dispatch per window in the autoregressive loop."""
+    motion_pre = a2m_mod.sample(
+        a2m_model, a2m_params, km, ref_motion[:, -1],
+        frames=audio.shape[1], sample_step=motion_steps, audio=audio,
+        ref_audio=ref_audio[:, -1])
+    _, video_pre = amd_mod.sample_with_refimg_motion(
+        amd_model, amd_params, kv, m2v_ref, motion_pre,
+        sample_step=video_steps)
+    return motion_pre, video_pre
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("sample_step",))
+def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
+                      m2v_ref, key, sample_step):
+    """One GT-motion ablation window (extract -> decode) as one program."""
+    motion = amd_model.apply(amd_params, cur_gt, method="extract_motion")
+    return amd_mod.sample_with_refimg_motion(
+        amd_model, amd_params, key, m2v_ref, motion,
+        sample_step=sample_step)[1]
 
 
 class AMDReconstructionPipeline:
@@ -119,28 +171,12 @@ class AMDCrossVideoPipeline(AMDReconstructionPipeline):
         pix1, grey1 = self._load_clip(video_path_1, fps)
         pix2, grey2 = self._load_clip(video_path_2, fps)
 
-        z1 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
-                                jnp.asarray(pix1)[None])[0]
-        z2 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
-                                jnp.asarray(pix2)[None])[0]
-        ref = jnp.broadcast_to(z2[:1][None][:, :1], z2[1:][None].shape)
-        kw = {}
-        if self.use_grey:
-            g1 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
-                                    jnp.asarray(grey1)[None])[0]
-            g2 = vae_mod.vae_encode_jit(self.vae, self.vae_params,
-                                    jnp.asarray(grey2)[None])[0]
-            kw = dict(video_grey_1=g1[1:][None], video_grey_2=g2[1:][None],
-                      ref_img_grey=jnp.broadcast_to(
-                          g2[:1][None][:, :1], g2[1:][None].shape))
-
-        _, video_pre, _ = amd_mod.sample_cross_jit(
-            self.amd_model, self.amd_params, key, z1[1:][None], z2[1:][None],
-            ref, sample_step=video_sample_step, **kw)
-
-        result = jnp.concatenate([z2[:1][None], video_pre], axis=1)
-        out = np.asarray(vae_mod.vae_decode_rgb_jit(
-            self.vae, self.vae_params, result)[0])
+        out = np.asarray(_cross_clip(
+            self.vae, self.amd_model, self.vae_params, self.amd_params,
+            jnp.asarray(pix1), jnp.asarray(pix2),
+            None if grey1 is None else jnp.asarray(grey1),
+            None if grey2 is None else jnp.asarray(grey2), key,
+            sample_step=video_sample_step, use_grey=self.use_grey))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -182,12 +218,10 @@ class GTMotionAblationPipeline:
         for i in range(num_windows):
             key, kv = jax.random.split(key)
             cur_gt = gt_z[:, i * w:(i + 1) * w]
-            motion = amd_mod.extract_motion_jit(
-                self.amd_model, self.amd_params, cur_gt)
             m2v_ref = ref_z[:, 0] if pre_video is None else pre_video[:, -1]
-            _, video_pre = amd_mod.sample_with_refimg_motion_jit(
-                self.amd_model, self.amd_params, kv, m2v_ref, motion,
-                sample_step=video_sample_step)
+            video_pre = _gt_motion_window(
+                self.vae, self.amd_model, self.vae_params, self.amd_params,
+                cur_gt, m2v_ref, kv, sample_step=video_sample_step)
             pre_video = video_pre if pre_video is None else jnp.concatenate(
                 [pre_video, video_pre], axis=1)
 
@@ -261,13 +295,12 @@ class ImageAudio2VideoPipeline:
                 ref_motion = pre_motion[:, -r:]
                 cur_ref_audio = audio[:, s - r:s]
 
-            motion_pre = self._sample_motion(km, ref_motion, audio[:, s:e],
-                                             cur_ref_audio,
-                                             motion_sample_step)
             m2v_ref = random_ref if i == 0 else pre_video[:, -1]
-            _, video_pre = amd_mod.sample_with_refimg_motion_jit(
-                self.amd_model, self.amd_params, kv, m2v_ref, motion_pre,
-                sample_step=video_sample_step)
+            motion_pre, video_pre = _a2v_window(
+                self.amd_model, self.a2m_model, self.amd_params,
+                self.a2m_params, ref_motion, audio[:, s:e], cur_ref_audio,
+                m2v_ref, km, kv, motion_steps=motion_sample_step,
+                video_steps=video_sample_step)
 
             pre_motion = motion_pre if pre_motion is None else jnp.concatenate(
                 [pre_motion, motion_pre], axis=1)
@@ -279,12 +312,12 @@ class ImageAudio2VideoPipeline:
             e = total
             s = e - w
             ref_motion = pre_motion[:, s - r:s]
-            motion_pre = self._sample_motion(km, ref_motion, audio[:, s:e],
-                                             audio[:, s - r:s],
-                                             motion_sample_step)
-            _, video_pre = amd_mod.sample_with_refimg_motion_jit(
-                self.amd_model, self.amd_params, kv, pre_video[:, s - 1],
-                motion_pre, sample_step=video_sample_step)
+            motion_pre, video_pre = _a2v_window(
+                self.amd_model, self.a2m_model, self.amd_params,
+                self.a2m_params, ref_motion, audio[:, s:e],
+                audio[:, s - r:s], pre_video[:, s - 1], km, kv,
+                motion_steps=motion_sample_step,
+                video_steps=video_sample_step)
             pre_motion = jnp.concatenate([pre_motion[:, :s], motion_pre], axis=1)
             pre_video = jnp.concatenate([pre_video[:, :s], video_pre], axis=1)
 
