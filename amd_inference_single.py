@@ -15,6 +15,10 @@ def parse_args():
                    help="motion source")
     p.add_argument("--video_path_2", type=str, required=True,
                    help="appearance source")
+    p.add_argument("--diff_motion", action="store_true",
+                   help="AMDModel diff-motion mode: reconstruct video_2 "
+                        "with the camera/LF motion of video_1 "
+                        "(reference sample_diff_motion)")
     p.add_argument("--output_path", type=str, default="output/cross.mp4")
     p.add_argument("--video_frames", type=int, default=16)
     p.add_argument("--sample_step", type=int, default=20)
@@ -33,7 +37,8 @@ def main():
     import jax.numpy as jnp
 
     from hivae_tpu.models import vae as vae_mod
-    from hivae_tpu.pipelines import AMDCrossVideoPipeline
+    from hivae_tpu.pipelines import (AMDCrossVideoPipeline,
+                                     AMDDiffMotionPipeline)
 
     dtype = jnp.bfloat16
     model, params = load_amd(args, dtype)
@@ -48,11 +53,21 @@ def main():
         state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
         vae_params, _ = convert_torch_state(vae_params, state, strict=False)
 
-    pipe = AMDCrossVideoPipeline(
-        vae, vae_params, model, params, window=args.video_frames,
-        use_grey=getattr(model.cfg, "use_grey", False))
-    pipe.sample_cross(args.video_path_1, args.video_path_2, args.output_path,
-                      video_sample_step=args.sample_step, fps=args.fps)
+    use_grey = getattr(model.cfg, "use_grey", False)
+    if args.diff_motion:
+        pipe = AMDDiffMotionPipeline(vae, vae_params, model, params,
+                                     window=args.video_frames,
+                                     use_grey=use_grey)
+        pipe.sample_diff(args.video_path_2, args.video_path_1,
+                         args.output_path,
+                         video_sample_step=args.sample_step, fps=args.fps)
+    else:
+        pipe = AMDCrossVideoPipeline(vae, vae_params, model, params,
+                                     window=args.video_frames,
+                                     use_grey=use_grey)
+        pipe.sample_cross(args.video_path_1, args.video_path_2,
+                          args.output_path,
+                          video_sample_step=args.sample_step, fps=args.fps)
     print("saved:", args.output_path)
 
 

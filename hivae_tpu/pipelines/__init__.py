@@ -1,2 +1,3 @@
 from .pipeline import (AMDReconstructionPipeline, AMDCrossVideoPipeline,
-                       GTMotionAblationPipeline, ImageAudio2VideoPipeline)
+                       AMDDiffMotionPipeline, GTMotionAblationPipeline,
+                       ImageAudio2VideoPipeline)

@@ -89,6 +89,28 @@ def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
 
 
 @partial(jax.jit, static_argnums=(0, 1),
+         static_argnames=("sample_step", "use_grey"))
+def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
+                      camera_pixels, key, sample_step, use_grey=False):
+    """Reconstruction with the camera/LF motion taken from a different clip
+    (reference ``AMDModel.sample_diff_motion``) as ONE program. AMDModel
+    (dual-encoder) only."""
+    enc = lambda px: vae_mod.vae_encode(vae, vae_params, px[None])[0]
+    z = enc(pixels)
+    refimg_z, gt = z[:1], z[1:][None]
+    ref = jnp.broadcast_to(refimg_z[:, None], gt.shape)
+    gz = enc(grey) if use_grey else z
+    cam_gz = enc(camera_pixels)  # caller passes the grey camera stream
+    _, video_pre, _ = amd_mod.sample_diff_motion(
+        amd_model, amd_params, key, gt, ref,
+        video_grey=gz[1:][None],
+        ref_img_grey=jnp.broadcast_to(gz[:1][None], gt.shape),
+        camera_video_grey=cam_gz[1:][None], sample_step=sample_step)
+    result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
+    return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+
+
+@partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("motion_steps", "video_steps"))
 def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
                 audio, ref_audio, m2v_ref, km, kv, motion_steps, video_steps):
@@ -177,6 +199,32 @@ class AMDCrossVideoPipeline(AMDReconstructionPipeline):
             None if grey1 is None else jnp.asarray(grey1),
             None if grey2 is None else jnp.asarray(grey2), key,
             sample_step=video_sample_step, use_grey=self.use_grey))
+        if output_path:
+            vio.write_video(output_path, out, fps=fps)
+        return out
+
+
+class AMDDiffMotionPipeline(AMDReconstructionPipeline):
+    """Reconstruct ``video_path`` but take the camera/LF motion from
+    ``camera_video_path`` (reference ``AMDModel.sample_diff_motion:598``;
+    requires the dual-encoder ``AMDModel``)."""
+
+    def sample_diff(self, video_path: str, camera_video_path: str,
+                    output_path: Optional[str] = None,
+                    video_sample_step: int = 20, fps: int = 8,
+                    key: Optional[jax.Array] = None) -> np.ndarray:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pixels, grey = self._load_clip(video_path, fps)
+        _, cam_grey = self._load_clip(camera_video_path, fps)
+        if cam_grey is None:  # pipeline built without grey streams
+            cam_grey = self._load_clip(camera_video_path, fps)[0]
+
+        out = np.asarray(_diff_motion_clip(
+            self.vae, self.amd_model, self.vae_params, self.amd_params,
+            jnp.asarray(pixels),
+            jnp.asarray(grey if grey is not None else pixels),
+            jnp.asarray(cam_grey), key, sample_step=video_sample_step,
+            use_grey=self.use_grey))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out

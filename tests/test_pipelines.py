@@ -141,3 +141,37 @@ class TestImageAudio2Video:
         out = pipe.predict(ref_img, ref_audio, audio, motion_sample_step=2,
                            video_sample_step=2)
         assert out.shape == (1, 2 * W + 2 + 1, 4, LAT, LAT)
+
+
+class TestDiffMotionPipeline:
+    def test_sample_diff(self, video_file, tmp_path):
+        from hivae_tpu.pipelines import AMDDiffMotionPipeline
+
+        vae = vae_mod.AutoencoderKL(cfg=vae_mod.VAEConfig(
+            block_out_channels=(4, 8, 8, 8), layers_per_block=1,
+            norm_num_groups=4))
+        vae_params = vae.init(KEY, jnp.zeros((1, 3, SIZE, SIZE)))
+        cfg = amd_mod.AMDConfig(
+            image_height=LAT, image_width=LAT, image_patch_size=1,
+            video_frames=W, use_filter=True, use_grey=True,
+            use_motiontemporal=False, use_camera_down=True,
+            object_motion_token_num=2, object_motion_token_channel=16,
+            object_enc_num_layers=1, enc_nhead=2, enc_ndim=8,
+            camera_motion_token_num=2, camera_motion_token_channel=16,
+            camera_enc_num_layers=1, motion_token_num=2,
+            motion_token_channel=16, diffusion_model_type="spatial",
+            motion_type="decouple", diffusion_attn_head_dim=8,
+            diffusion_attn_num_heads=2, diffusion_num_layers=1)
+        model = amd_mod.AMDModel(cfg=cfg)
+        v = jnp.zeros((1, W, 4, LAT, LAT))
+        params = model.init({"params": KEY, "noise": KEY, "noise_kl": KEY},
+                            v, v, v, v)
+
+        pipe = AMDDiffMotionPipeline(vae, vae_params, model, params,
+                                     window=W, use_grey=True,
+                                     sample_size=SIZE)
+        out = pipe.sample_diff(video_file, video_file,
+                               str(tmp_path / "diff.mp4"),
+                               video_sample_step=2)
+        assert out.shape == (W + 1, 3, SIZE, SIZE) and out.dtype == np.uint8
+        assert os.path.exists(tmp_path / "diff.mp4")
