@@ -66,6 +66,8 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     def save(self, step: int, state: Any, blocking: bool = True) -> str:
+        # finish any in-flight async save first (Orbax forbids overlap)
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.directory, f"checkpoint-{step}")
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -74,6 +76,10 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
         self._rotate()
         return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        self._ckptr.wait_until_finished()
 
     def restore(self, state_template: Any,
                 path: Optional[str] = None) -> Any:

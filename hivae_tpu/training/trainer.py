@@ -260,11 +260,16 @@ class AMDTrainer:
 
                 if self.global_step % cfg.save_every == 0:
                     self.save()
+        self.ckpt.wait()  # make the last async save durable before returning
         return last_metrics
 
     def save(self):
         if jax.process_index() == 0:
-            self.ckpt.save(self.global_step, jax.device_get(self.state))
+            # async save: training resumes while Orbax commits in the
+            # background (multi-minute for multi-GB states on slow stores);
+            # the next save or fit-exit waits for durability
+            self.ckpt.save(self.global_step, jax.device_get(self.state),
+                           blocking=False)
 
     def _log(self, metrics: Dict[str, float]):
         if self.tb is not None:
