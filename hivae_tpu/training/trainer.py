@@ -62,6 +62,12 @@ class TrainConfig:
     # after warmup/compile) into <output_dir>/profile; 0 disables
     profile_steps: int = 0
     profile_start: int = 5
+    # Adam moment dtype: 'bf16' halves optimizer HBM (the difference
+    # between batch 1 and batch 2 for the 696M model on a 16G chip);
+    # None keeps fp32 moments
+    mu_dtype: Optional[str] = None
+    # gradient accumulation (reference --gradient_accumulation_steps)
+    accumulate_steps: int = 1
 
 
 class AMDTrainer:
@@ -79,10 +85,14 @@ class AMDTrainer:
         self.mesh = create_mesh(config.mesh_shape)
         self.tb = tb_writer
 
+        import jax.numpy as _jnp
         tx = make_optimizer(config.learning_rate, config.warmup_steps,
                             config.max_steps, config.lr_schedule,
                             config.weight_decay,
-                            max_grad_norm=config.max_grad_norm)
+                            max_grad_norm=config.max_grad_norm,
+                            accumulate_steps=config.accumulate_steps,
+                            mu_dtype=_jnp.bfloat16
+                            if config.mu_dtype == "bf16" else None)
         # copy: the jitted step donates the state, which may alias the
         # caller's params when device_put is a no-op
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
@@ -123,16 +133,20 @@ class AMDTrainer:
             def encode(key, pixels):
                 return vae_mod.vae_encode(vae, frozen["vae"], pixels, key)
 
+            # encode outside loss_fn: the latents don't depend on the
+            # trained params, so the frozen encoder has no business inside
+            # the differentiated region
+            video_z = encode(kv, batch["videos"])
+            ref_z = encode(kv, batch["ref_img"])
+            kwargs = {}
+            if use_grey:
+                kwargs["video_grey"] = encode(kg, batch["grey_videos"])
+                kwargs["ref_img_grey"] = encode(kg, batch["ref_grey_img"])
+            if isinstance(model, amd_mod.AMDModelNew):
+                kwargs["camera_mask_ratio"] = cfg.camera_mask_ratio
+                kwargs["object_mask_ratio"] = cfg.object_mask_ratio
+
             def loss_fn(params):
-                video_z = encode(kv, batch["videos"])
-                ref_z = encode(kv, batch["ref_img"])
-                kwargs = {}
-                if use_grey:
-                    kwargs["video_grey"] = encode(kg, batch["grey_videos"])
-                    kwargs["ref_img_grey"] = encode(kg, batch["ref_grey_img"])
-                if isinstance(model, amd_mod.AMDModelNew):
-                    kwargs["camera_mask_ratio"] = cfg.camera_mask_ratio
-                    kwargs["object_mask_ratio"] = cfg.object_mask_ratio
                 _, _, loss_dict = model.apply(
                     params, video_z, ref_z, rngs={"noise": kn, "mask": km},
                     return_meta_info=use_lpips, **kwargs)
@@ -259,17 +273,20 @@ class AMDTrainer:
                     self._log(last_metrics)
 
                 if self.global_step % cfg.save_every == 0:
-                    self.save()
+                    self.save(blocking=False)
         self.ckpt.wait()  # make the last async save durable before returning
         return last_metrics
 
-    def save(self):
+    def save(self, blocking: bool = True):
+        """Checkpoint the train state. The in-loop path passes
+        blocking=False (training resumes while Orbax commits in the
+        background; the next save or fit-exit waits). Explicit calls —
+        final save before process exit — default to blocking, otherwise
+        the interpreter can shut down with the write still in flight,
+        leaving only an orbax tmp dir."""
         if jax.process_index() == 0:
-            # async save: training resumes while Orbax commits in the
-            # background (multi-minute for multi-GB states on slow stores);
-            # the next save or fit-exit waits for durability
             self.ckpt.save(self.global_step, jax.device_get(self.state),
-                           blocking=False)
+                           blocking=blocking)
 
     def _log(self, metrics: Dict[str, float]):
         if self.tb is not None:

@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--resume_training", type=str2bool, default=False)
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
+    p.add_argument("--mu_dtype", type=str, default=None,
+                   choices=[None, "bf16"],
+                   help="bf16 Adam moments halve optimizer HBM")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--mesh", type=str, default=None,
                    help="data,fsdp,tensor e.g. '4,2,1'; default all-data")
     # model
@@ -212,7 +216,8 @@ def main():
         mesh_shape=mesh_shape, resume=args.resume_training,
         camera_mask_ratio=args.camera_mask_ratio,
         object_mask_ratio=args.object_mask_ratio,
-        profile_steps=args.profile_steps)
+        profile_steps=args.profile_steps, mu_dtype=args.mu_dtype,
+        accumulate_steps=args.gradient_accumulation_steps)
 
     tb = SummaryWriter(os.path.join(out_dir, "tracker")) \
         if jax.process_index() == 0 else None
