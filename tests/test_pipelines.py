@@ -175,3 +175,39 @@ class TestDiffMotionPipeline:
                                video_sample_step=2)
         assert out.shape == (W + 1, 3, SIZE, SIZE) and out.dtype == np.uint8
         assert os.path.exists(tmp_path / "diff.mp4")
+
+
+class TestFusedEquivalence:
+    def test_recon_clip_matches_staged(self, tiny_stack, video_file):
+        """The fused one-program reconstruction must equal running the
+        stages (encode / sample / decode+rgb) as separate programs."""
+        from hivae_tpu.pipelines.pipeline import _recon_clip
+
+        s = tiny_stack
+        pipe = AMDReconstructionPipeline(s["vae"], s["vae_params"], s["amd"],
+                                         s["amd_params"], window=W,
+                                         use_grey=True, sample_size=SIZE)
+        pixels, grey = pipe._load_clip(video_file, 8)
+        px, gr = jnp.asarray(pixels), jnp.asarray(grey)
+        key = jax.random.PRNGKey(3)
+
+        fused = np.asarray(_recon_clip(
+            s["vae"], s["amd"], s["vae_params"], s["amd_params"], px, gr,
+            key, sample_step=2, use_grey=True))
+
+        z = vae_mod.vae_encode_jit(s["vae"], s["vae_params"], px[None])[0]
+        gz = vae_mod.vae_encode_jit(s["vae"], s["vae_params"], gr[None])[0]
+        gt = z[1:][None]
+        ref = jnp.broadcast_to(z[:1][None], gt.shape)
+        _, video_pre, _ = amd_mod.sample_jit(
+            s["amd"], s["amd_params"], key, gt, ref, sample_step=2,
+            video_grey=gz[1:][None],
+            ref_img_grey=jnp.broadcast_to(gz[:1][None], gt.shape))
+        result = jnp.concatenate([z[:1][None], video_pre], axis=1)
+        staged = np.asarray(vae_mod.vae_decode_rgb_jit(
+            s["vae"], s["vae_params"], result)[0])
+
+        assert fused.shape == staged.shape
+        # uint8 quantization: allow off-by-one from fusion reassociation
+        assert np.mean(np.abs(fused.astype(int) - staged.astype(int)) <= 1) \
+            > 0.999
