@@ -67,7 +67,6 @@ def main():
     from hivae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    import jax
     import orbax.checkpoint as ocp
 
     from hivae_tpu.utils.torch_convert import (convert_torch_state,
@@ -76,8 +75,7 @@ def main():
 
     from hivae_tpu.utils.misc import init_on_cpu
 
-    key = jax.random.PRNGKey(0)
-    template = init_on_cpu(build_template, args, key)
+    template = init_on_cpu(build_template, args)
     state = load_safetensors(args.src)
     if args.kind == "vae":
         state = normalize_vae_keys(state)
@@ -89,7 +87,9 @@ def main():
         print("missing (first 10):", report["missing"][:10])
     if report["unused"]:
         print("unused (first 10):", report["unused"][:10])
-    ocp.StandardCheckpointer().save(args.dst, params)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(args.dst, params)
+    ckptr.wait_until_finished()  # the save is async; block before exit
     print("saved:", args.dst)
 
 

@@ -81,6 +81,26 @@ def get_target_with_zt_vel(z_t: jax.Array, vel: jax.Array, timestep: jax.Array,
     return z_t + (1.0 - t) * vel
 
 
+def euler_start(z0: jax.Array, z1: Optional[jax.Array], start_step: int,
+                num_steps: int = DEFAULT_NUM_STEPS) -> jax.Array:
+    """Initial state for an Euler walk that begins at ``start_step``.
+
+    The reference seeds every sampler with ``get_train_tuple(z1=zj,
+    time_step=start_step)`` (e.g. ``model_AMD.py:2052``), i.e. the partially
+    noised target ``t0*z1 + (1-t0)*z0`` with ``t0 = (num_steps - start_step)
+    / num_steps``. At the default ``start_step == num_steps`` this is pure
+    noise and ``z1`` is not needed.
+    """
+    if start_step >= num_steps:
+        return z0
+    if z1 is None:
+        raise ValueError(
+            f"start_step={start_step} < num_steps={num_steps} requires the "
+            "target sample z1 to seed the partially-noised start state")
+    t0 = (num_steps - start_step) / num_steps
+    return t0 * z1 + (1.0 - t0) * z0
+
+
 def sample_step_sequence(sample_steps: int, start_step: Optional[int] = None,
                          num_steps: int = DEFAULT_NUM_STEPS) -> np.ndarray:
     """Integer step sequence used by the top-level models' Euler loops.
