@@ -23,8 +23,11 @@ Semantics preserved exactly:
     (reference ``:1960-1964``);
   * the forward's band cutoffs are (0.6 low, 0.5 high); sample/encode use
     (0.6, 0.6) (reference ``:1882-1886`` vs ``:2042-2046``);
-  * mask-ratio jitter happens at trace time (static shapes under jit) —
-    pass a pre-jittered ratio per step from the trainer.
+  * per-step mask-ratio jitter (camera ``(0.6+0.4u)·r``, object ``0.5u·r``,
+    reference ``:1857-1862``) happens *inside* the training forward as traced
+    scalars: tokens are shuffled at full static length and the jittered
+    complement is hidden via attention key-masks — numerically identical to
+    the reference's gather, with no shape-driven retraces.
 """
 
 from __future__ import annotations
@@ -112,6 +115,11 @@ class AMDConfig:
     remat: bool = False
     # stack DiT layers with nn.scan (faster compiles; stacked param layout)
     scan_layers: bool = False
+    # attention implementation: 'xla' | 'pallas' | 'ring'. 'ring' shards
+    # every attention's sequence dim over the mesh 'tensor' axis
+    # (parallel/ring_attention.py; SURVEY §5.7) so long windows scale past
+    # one chip's HBM; non-divisible sequences fall back to XLA per-op
+    attn_impl: str = "xla"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "AMDConfig":
@@ -235,6 +243,7 @@ class AMDModelNew(nn.Module):
             lf_video = (jnp.concatenate([ref_img_grey, video_grey], axis=1)[:, t:]
                         if c.use_grey else video)
 
+        camera_site_mask = None
         if c.use_camera:
             if c.use_camera_down:
                 b = lf_video.reshape((n * t,) + lf_video.shape[2:])
@@ -242,6 +251,14 @@ class AMDModelNew(nn.Module):
                 lf_video = b.reshape((n, t) + b.shape[1:])
             camera_target = self.camera_motion_encoder(lf_video,
                                                        camera_mask_ratio)
+            if isinstance(camera_target, tuple):  # traced jitter: site mask
+                camera_target, camera_site_mask = camera_target
+            # camera-only variant: the reference's AMDModel_Camera transforms
+            # the (n,t,l,d) target motion before the DiT (model_AMD.py:1176);
+            # the dual-stream AMDModel_New never applies it in forward
+            if (c.need_motion_transformer and not c.use_object and
+                    not c.extract_motion_with_motion_transformer):
+                camera_target = self.motion_transformer(camera_target)
         if c.use_object:
             object_motion = self.object_motion_encoder(refimg_and_video,
                                                        object_mask_ratio)
@@ -249,6 +266,9 @@ class AMDModelNew(nn.Module):
                 (n * t,) + object_motion.shape[2:])
             object_target = object_motion[:, t:].reshape(
                 (n * t,) + object_motion.shape[2:])
+        if camera_site_mask is not None:
+            return (camera_target, object_source, object_target,
+                    camera_site_mask)
         return camera_target, object_source, object_target
 
     def extract_motion(self, video):
@@ -262,7 +282,8 @@ class AMDModelNew(nn.Module):
     # ----- DiT velocity -------------------------------------------------------
 
     def velocity(self, image_hidden_states, timestep, camera_target=None,
-                 object_source=None, object_target=None):
+                 object_source=None, object_target=None,
+                 camera_site_mask=None):
         c = self.cfg
         if c.diffusion_model_type == "default":
             # TempMotion DiT has no camera stream (reference transformer.py:1631)
@@ -278,12 +299,14 @@ class AMDModelNew(nn.Module):
         if c.use_camera and not c.use_object:
             return self.diffusion_transformer(
                 image_hidden_states, timestep,
-                camera_motion_target=camera_target)
+                camera_motion_target=camera_target,
+                camera_site_mask=camera_site_mask)
         return self.diffusion_transformer(
             image_hidden_states, timestep,
             camera_motion_target=camera_target,
             object_motion_source=object_source,
-            object_motion_target=object_target)
+            object_motion_target=object_target,
+            camera_site_mask=camera_site_mask)
 
     # ----- training forward ---------------------------------------------------
 
@@ -297,9 +320,30 @@ class AMDModelNew(nn.Module):
         """
         c = self.cfg
         n, t = video.shape[:2]
-        camera_target, object_source, object_target = self.encode(
+        if c.need_motion_transformer and c.use_object and self.is_initializing():
+            # the dual-stream New model's forward never runs the motion
+            # transformer (it serves extract_motion / refimg-motion
+            # sampling), so materialize its params at init time
+            self.motion_transformer(jnp.zeros(
+                (1, c.video_frames, c.object_motion_token_num,
+                 c.object_motion_token_channel)))
+        # per-step mask-ratio jitter (reference :1857-1862): traced scalars
+        # so the kept count varies per step at a static sequence shape
+        if camera_mask_ratio is not None:
+            u = jax.random.uniform(self.make_rng("mask"))
+            camera_mask_ratio = (0.6 + 0.4 * u) * camera_mask_ratio
+        if object_mask_ratio is not None:
+            u = jax.random.uniform(self.make_rng("mask"))
+            object_mask_ratio = (0.5 * u) * object_mask_ratio
+        encoded = self.encode(
             video, ref_img, video_grey, ref_img_grey,
             camera_mask_ratio, object_mask_ratio, low_cut=0.6, high_cut=0.5)
+        camera_site_mask = None
+        if len(encoded) == 4:
+            camera_target, object_source, object_target, camera_site_mask = \
+                encoded
+        else:
+            camera_target, object_source, object_target = encoded
 
         zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
         zj = video.reshape((n * t,) + video.shape[2:])
@@ -319,7 +363,8 @@ class AMDModelNew(nn.Module):
 
         image_hidden = jnp.concatenate([zi, zt], axis=1)
         pre = self.velocity(image_hidden, time_step.astype(jnp.float32),
-                            camera_target, object_source, object_target)
+                            camera_target, object_source, object_target,
+                            camera_site_mask=camera_site_mask)
 
         diff_loss = l2(pre, vel)
         rec_zj = rf.get_target_with_zt_vel(zt, pre, time_step,
@@ -459,7 +504,16 @@ class AMDModel(nn.Module):
 
     def _split_project(self, object_motion, camera_motion, n, t):
         """Split encoder outputs into source/target halves and project to the
-        shared motion channel (tail of reference ``AMDModel.forward``)."""
+        shared motion channel (tail of reference ``AMDModel.forward``).
+
+        When ``need_motion_transformer``, the target streams run through the
+        sequence-level motion transformer. The reference's own branch here is
+        dead code (``model_AMD.py:371-374`` references ``target_motion``
+        whose defining sum at ``:367-368`` is commented out -> NameError);
+        the working single-stream analogue ``AMDModel_Camera`` (``:1176``)
+        shows the intent — transform the (n,t,l,d) target motion before the
+        DiT — which we apply to each target stream.
+        """
         c = self.cfg
 
         def flat(m):
@@ -489,6 +543,14 @@ class AMDModel(nn.Module):
             if c.object_motion_token_channel != c.motion_token_channel:
                 object_source = self.object_motion_map(object_source)
                 object_target = self.object_motion_map(object_target)
+
+        if c.need_motion_transformer:
+            def transform(m):
+                m = m.reshape(n, t, *m.shape[1:])
+                return self.motion_transformer(m).reshape(n * t, *m.shape[2:])
+
+            camera_target = transform(camera_target)
+            object_target = transform(object_target)
 
         return dict(camera_source=camera_source, camera_target=camera_target,
                     object_source=object_source, object_target=object_target,
@@ -681,7 +743,8 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
     zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
     zj = video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
-    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
+                       z1=zj)
 
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
@@ -689,15 +752,23 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
 
 def decode(model: nn.Module, params, key: jax.Array, ref_img,
            motions: Dict[str, jax.Array], frames: int,
-           sample_step: int = 50, start_step: Optional[int] = None):
+           sample_step: int = 50, start_step: Optional[int] = None,
+           video=None):
     """Decode video latents from a reference frame + motion tokens
-    (reference ``AMDModel_New.decode:2464-2536``). ref_img: (N,T,C,H,W)."""
+    (reference ``AMDModel_New.decode:2464-2536``). ref_img: (N,T,C,H,W).
+
+    ``video`` (the target latents) is only needed when ``start_step`` is
+    below the scheduler range — the walk then starts from the partially
+    noised target, as the reference's ``decode`` does with its ``video``
+    argument (``:2468,2479``)."""
     cfg: AMDConfig = model.cfg
     n, t = ref_img.shape[:2]
     start = cfg.scheduler_num_step if start_step is None else start_step
     zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
+    z1 = None if video is None else video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(key, zi.shape, zi.dtype)
-    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
+                       z1=z1)
     return zt.reshape((n, t) + zt.shape[1:])
 
 
@@ -714,6 +785,13 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
     n, t, l, d = motion.shape
     src = model.apply(params, ref_img[:, None], method="extract_motion")
     source_motion = jnp.broadcast_to(src, (n, t, l, d)).reshape(n * t, l, d)
+    # reference :783 (the one executable motion-transformer branch): the
+    # provided target tokens run through the sequence transformer unless
+    # extract_motion already applied it
+    if (cfg.need_motion_transformer and
+            not cfg.extract_motion_with_motion_transformer):
+        motion = model.apply(
+            params, motion, method=lambda m, x: m.motion_transformer(x))
     target_motion = motion.reshape(n * t, l, d)
     motions = dict(object_source=source_motion, object_target=target_motion)
     if not isinstance(model, AMDModelNew):
@@ -764,7 +842,8 @@ def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
     zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
     zj = video_2.reshape((n * t,) + video_2.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
-    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
+                       z1=zj)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
 
@@ -793,20 +872,28 @@ def sample_diff_motion(model, params, key: jax.Array, video, ref_img,
     zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
     zj = video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
-    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start)
+    zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
+                       z1=zj)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
 
 
-def _euler_decode(model, params, zi, z0, motions, sample_step, start_step):
-    step_seq = rf.sample_step_sequence(sample_step, start_step)
+def _euler_decode(model, params, zi, z0, motions, sample_step, start_step,
+                  z1=None):
+    """Euler-walk the DiT from ``start_step`` down. When ``start_step`` is
+    below the scheduler's full range, the walk starts from the partially
+    noised target (reference seeds with ``get_train_tuple(z1=zj,
+    start_step)``), which requires ``z1``."""
+    num_steps = model.cfg.scheduler_num_step
+    step_seq = rf.sample_step_sequence(sample_step, start_step, num_steps)
+    z_start = rf.euler_start(z0, z1, start_step, num_steps)
 
     def vel_fn(zt, tstep):
         image_hidden = jnp.concatenate([zi, zt], axis=1)
         return model.apply(params, image_hidden, tstep, method="velocity",
                            **motions)
 
-    return rf.euler_sample(vel_fn, z0, step_seq)
+    return rf.euler_sample(vel_fn, z_start, step_seq)
 
 
 # -----------------------------------------------------------------------------

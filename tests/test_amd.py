@@ -130,6 +130,7 @@ class TestParamCounts:
         assert cfg2 == cfg
 
 
+@pytest.mark.slow
 class TestDiffMotionAndCamera:
     def test_sample_diff_motion(self):
         """Camera stream from a different clip (reference
@@ -172,3 +173,109 @@ class TestDiffMotionAndCamera:
         _, _, ld = model.apply(params, video, ref, video, ref,
                                rngs={"noise": KEY})
         assert np.isfinite(float(ld["loss"]))
+
+
+@pytest.mark.slow
+class TestMotionTransformer:
+    """The sequence-level motion transformer must actually shape outputs
+    when ``need_motion_transformer`` is set (the reference's own forward
+    branch is dead code — ``model_AMD.py:371-374`` NameErrors — but the
+    working single-stream analogue ``AMDModel_Camera:1176`` defines the
+    intent)."""
+
+    def _perturb(self, params, scale=0.05):
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params)
+        out = {}
+        for path, leaf in flat.items():
+            if "motion_transformer" in path:
+                leaf = leaf + scale * jnp.ones_like(leaf)
+            out[path] = leaf
+        return flax.traverse_util.unflatten_dict(out)
+
+    def test_amd_forward_uses_motion_transformer(self):
+        kw = dict(TINY)
+        kw["camera_motion_token_channel"] = 32
+        cfg = amd.AMDConfig(need_motion_transformer=True,
+                            use_motiontemporal=False, use_camera_down=True,
+                            diffusion_model_type="default",
+                            motion_type="plus", **kw)
+        model = amd.AMDModel(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref)
+        flat = "".join(str(p) for p, _ in
+                       jax.tree_util.tree_leaves_with_path(params))
+        assert "motion_transformer" in flat
+        pre, _, _ = model.apply(params, video, ref, rngs={"noise": KEY})
+        pre2, _, _ = model.apply(self._perturb(params), video, ref,
+                                 rngs={"noise": KEY})
+        assert float(jnp.abs(pre - pre2).max()) > 1e-6
+
+    def test_refimg_motion_path_uses_motion_transformer(self):
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True,
+                            need_motion_transformer=True,
+                            diffusion_model_type="spatial", **TINY)
+        model = amd.AMDModelNew(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        motion = model.apply(params, video, method="extract_motion")
+        zi, zt = amd.sample_with_refimg_motion(model, params, KEY,
+                                               ref[:, 0], motion,
+                                               sample_step=2)
+        zt2 = amd.sample_with_refimg_motion(model, self._perturb(params),
+                                            KEY, ref[:, 0], motion,
+                                            sample_step=2)[1]
+        assert zt.shape == video.shape
+        assert float(jnp.abs(zt - zt2).max()) > 1e-6
+
+    def test_camera_only_motion_transformer(self):
+        kw = {k: v for k, v in TINY.items()
+              if k not in ("camera_motion_token_channel", "motion_token_num",
+                           "motion_token_channel")}
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True, use_object=False,
+                            need_motion_transformer=True,
+                            camera_motion_token_channel=16,
+                            motion_token_num=4, motion_token_channel=16,
+                            diffusion_model_type="spatial", **kw)
+        model = amd.AMDModelNew(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        pre, _, _ = model.apply(params, video, ref, video, ref,
+                                rngs={"noise": KEY})
+        pre2, _, _ = model.apply(self._perturb(params), video, ref, video,
+                                 ref, rngs={"noise": KEY})
+        assert float(jnp.abs(pre - pre2).max()) > 1e-6
+
+
+class TestStartStep:
+    def test_euler_start_blend(self):
+        from hivae_tpu.ops import rectified_flow as rf
+
+        z0 = jnp.ones((2, 3))
+        z1 = jnp.full((2, 3), 5.0)
+        # full range -> pure noise start
+        np.testing.assert_allclose(rf.euler_start(z0, z1, 1000, 1000), z0)
+        # start at 750 -> t0 = 0.25: 0.25*5 + 0.75*1 = 2.0
+        np.testing.assert_allclose(rf.euler_start(z0, z1, 750, 1000),
+                                   jnp.full((2, 3), 2.0))
+        with pytest.raises(ValueError):
+            rf.euler_start(z0, None, 500, 1000)
+
+    def test_sample_with_start_step(self):
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True,
+                            diffusion_model_type="spatial", **TINY)
+        model = amd.AMDModelNew(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        # a very low start step keeps the walk near the (blended) target
+        _, zt, _ = amd.sample(model, params, KEY, video, ref, video, ref,
+                              sample_step=2, start_step=10)
+        err_low = float(amd.l2(zt, video))
+        _, zt_full, _ = amd.sample(model, params, KEY, video, ref, video,
+                                   ref, sample_step=2)
+        err_full = float(amd.l2(zt_full, video))
+        assert err_low < err_full  # starting nearer the target must help
