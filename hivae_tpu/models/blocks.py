@@ -59,7 +59,8 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None,
+                 key_mask: Optional[jax.Array] = None) -> jax.Array:
         ctx = x if context is None else context
         inner = self.heads * self.head_dim
         dense = lambda name: nn.Dense(inner, use_bias=self.qkv_bias, name=name,
@@ -72,7 +73,7 @@ class Attention(nn.Module):
             # matmuls stay in the compute dtype (bf16 on the MXU)
             q = nn.LayerNorm(epsilon=self.eps, name="norm_q")(q).astype(self.dtype)
             k = nn.LayerNorm(epsilon=self.eps, name="norm_k")(k).astype(self.dtype)
-        out = attn_ops.sdpa(q, k, v)
+        out = attn_ops.sdpa(q, k, v, key_mask=key_mask)
         out = _merge_heads(out)
         return nn.Dense(self.dim, use_bias=self.out_bias, name="to_out",
                         dtype=self.dtype)(out)
@@ -231,11 +232,12 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 key_mask: Optional[jax.Array] = None) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + Attention(self.dim, self.heads, self.head_dim,
                           qkv_bias=self.qkv_bias, name="attn1",
-                          dtype=self.dtype)(h)
+                          dtype=self.dtype)(h, key_mask=key_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x + FeedForward(self.dim, name="ff", dtype=self.dtype)(h)
 
@@ -275,14 +277,22 @@ class JointTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden: jax.Array, encoder: jax.Array, temb: jax.Array):
+    def __call__(self, hidden: jax.Array, encoder: jax.Array, temb: jax.Array,
+                 hidden_key_mask: Optional[jax.Array] = None):
         enc_len = encoder.shape[1]
+        mask = None
+        if hidden_key_mask is not None:
+            # joint order is [encoder, hidden]; the mask hides dropped
+            # hidden-stream tokens (e.g. jitter-masked camera sites) as keys
+            mask = jnp.concatenate(
+                [jnp.ones(encoder.shape[:2], dtype=bool),
+                 hidden_key_mask], axis=1)
         h, e, gate, e_gate = AdaLNZero(self.dim, name="norm1",
                                        dtype=self.dtype)(hidden, encoder, temb)
         joint = jnp.concatenate([e, h], axis=1)
         out = Attention(self.dim, self.heads, self.head_dim,
                         qkv_bias=self.qkv_bias, name="attn1",
-                        dtype=self.dtype)(joint)
+                        dtype=self.dtype)(joint, key_mask=mask)
         hidden = hidden + gate * out[:, enc_len:]
         encoder = encoder + e_gate * out[:, :enc_len]
 

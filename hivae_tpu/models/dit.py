@@ -226,8 +226,8 @@ class VelocityDiTTempMotion(_DiTBase):
                               split_rngs={"params": True},
                               length=self.num_layers,
                               metadata_params={nn.meta.PARTITION_NAME: None})
-            carry = (motion, None, img, emb, None)
-            (motion, _, img, emb, _), _ = Stacked(
+            carry = (motion, None, img, emb, None, None)
+            (motion, _, img, emb, _, _), _ = Stacked(
                 hidden=hidden, heads=self.heads, head_dim=self.head_dim,
                 n=n, t=t, s=s, use_object=True, use_camera=False,
                 use_spatial=False, name="layers", dtype=self.dtype)(carry, None)
@@ -258,7 +258,7 @@ class _SpatialTempLayer(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        motion, cam, img, emb, emb_s = carry
+        motion, cam, img, emb, emb_s, cam_mask = carry
         n, t, s, hidden = self.n, self.t, self.s, self.hidden
         if self.use_object:
             motion, img = JointTransformerBlock(
@@ -267,7 +267,7 @@ class _SpatialTempLayer(nn.Module):
         if self.use_camera:
             cam, img = JointTransformerBlock(
                 hidden, self.heads, self.head_dim, name="camera_block",
-                dtype=self.dtype)(cam, img, emb)
+                dtype=self.dtype)(cam, img, emb, hidden_key_mask=cam_mask)
         if self.use_spatial:
             img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
                 n * s, t, hidden)
@@ -275,7 +275,7 @@ class _SpatialTempLayer(nn.Module):
                            name="spatial_block", dtype=self.dtype)(img, emb_s)
             img = img.reshape(n, s, t, hidden).transpose(0, 2, 1, 3).reshape(
                 n * t, s, hidden)
-        return (motion, cam, img, emb, emb_s), None
+        return (motion, cam, img, emb, emb_s, cam_mask), None
 
 
 class VelocityDiTImgSpatialTempMotion(_DiTBase):
@@ -299,7 +299,7 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
     @nn.compact
     def __call__(self, image_hidden_states, timestep,
                  camera_motion_target=None, object_motion_source=None,
-                 object_motion_target=None):
+                 object_motion_target=None, camera_site_mask=None):
         n_t, ci, hi, wi = image_hidden_states.shape
         t = self.motion_target_num_frame
         n = n_t // t
@@ -318,12 +318,14 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
         img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3) + tpos[:, None]
         img = img.transpose(0, 2, 1, 3).reshape(n_t, s, hidden)
 
-        cam = None
+        cam = cam_mask = None
         if camera_motion_target is not None:
             nc, tc, sc, dc = camera_motion_target.shape
             cam = camera_motion_target.reshape(nc * tc, sc, dc)
             cam = nn.Dense(hidden, name="camera_motion_patch_embed",
                            dtype=self.dtype)(cam)
+            if camera_site_mask is not None:  # (n, sc) per clip -> per frame
+                cam_mask = jnp.repeat(camera_site_mask, tc, axis=0)
 
         motion = None
         if object_motion_source is not None:
@@ -351,8 +353,8 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
                 split_rngs={"params": True},
                 length=self.num_layers,
                 metadata_params={nn.meta.PARTITION_NAME: None})
-            carry = (motion, cam, img, emb, emb_s)
-            (motion, cam, img, emb, emb_s), _ = Stacked(
+            carry = (motion, cam, img, emb, emb_s, cam_mask)
+            (motion, cam, img, emb, emb_s, cam_mask), _ = Stacked(
                 hidden=hidden, heads=self.heads, head_dim=self.head_dim,
                 n=n, t=t, s=s, use_object=True, use_camera=True,
                 name="layers", dtype=self.dtype)(carry, None)
@@ -365,7 +367,8 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
                 if cam is not None:
                     cam, img = self._blk(JointTransformerBlock)(
                         hidden, self.heads, self.head_dim,
-                        name=f"camera_blocks_{i}", dtype=self.dtype)(cam, img, emb)
+                        name=f"camera_blocks_{i}", dtype=self.dtype)(
+                            cam, img, emb, hidden_key_mask=cam_mask)
                 # spatial block over per-pixel temporal tubes
                 img = img.reshape(n, t, s, hidden).transpose(0, 2, 1, 3).reshape(
                     n * s, t, hidden)

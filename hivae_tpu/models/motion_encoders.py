@@ -53,6 +53,30 @@ def random_mask_tokens(key: jax.Array, x: jax.Array, mask_ratio: float,
     return jnp.take_along_axis(x, idx, axis=axis)
 
 
+def shuffle_mask_tokens(key: jax.Array, x: jax.Array, mask_ratio: jax.Array,
+                        axis: int = 1):
+    """Traced-ratio masking at static shape: per-sample shuffle along
+    ``axis`` (full length kept) plus a boolean keep-mask over the first
+    ``floor(L * (1 - ratio))`` slots, where the ratio — and hence the kept
+    count — is a *traced* scalar (the per-step jitter of reference
+    ``model_AMD.py:1857-1862``). Excluding the dropped slots as attention
+    keys is numerically identical to the reference's gather: the kept set is
+    the same uniformly random subset, only its masked complement stays in
+    the sequence as inert rows.
+
+    Returns (x_shuffled, keep_mask (N, L) bool)."""
+    n = x.shape[0]
+    length = x.shape[axis]
+    noise = jax.random.uniform(key, (n, length))
+    ids_shuffle = jnp.argsort(noise, axis=1)  # (N, L)
+    idx = ids_shuffle.reshape((n,) + (1,) * (axis - 1) + (length,) +
+                              (1,) * (x.ndim - axis - 1))
+    x = jnp.take_along_axis(x, idx, axis=axis)
+    len_keep = jnp.floor(length * (1.0 - mask_ratio)).astype(jnp.int32)
+    keep = jnp.arange(length)[None, :] < len_keep
+    return x, jnp.broadcast_to(keep, (n, length))
+
+
 class MotionEncoderSpatial(nn.Module):
     """Per-frame spatial motion encoder with learnable tokens."""
 
@@ -89,14 +113,22 @@ class MotionEncoderSpatial(nn.Module):
         pos = jnp.asarray(emb_ops.get_2d_sincos_pos_embed(hidden, (iph, ipw)))
         x = x + pos[None].astype(self.dtype)
 
+        key_mask = None
         if mask_ratio is not None:
-            x = random_mask_tokens(self.make_rng("mask"), x, mask_ratio)
+            if isinstance(mask_ratio, jax.Array):  # traced per-step jitter
+                x, keep = shuffle_mask_tokens(self.make_rng("mask"), x,
+                                              mask_ratio)
+                key_mask = jnp.concatenate(
+                    [jnp.ones((x.shape[0], self.motion_token_num), bool),
+                     keep], axis=1)
+            else:
+                x = random_mask_tokens(self.make_rng("mask"), x, mask_ratio)
 
         hstate = jnp.concatenate([mtok, x], axis=1)
         for i in range(self.num_layers):
             hstate = BasicTransformerBlock(hidden, self.heads, self.head_dim,
                                            name=f"blocks_{i}",
-                                           dtype=self.dtype)(hstate)
+                                           dtype=self.dtype)(hstate, key_mask)
 
         mtok = hstate[:, :self.motion_token_num]
         mtok = nn.LayerNorm(epsilon=1e-5, name="norm_final")(mtok)
@@ -152,14 +184,21 @@ class MotionEncoderSpatialTemporal(nn.Module):
                        dtype=self.dtype)(x)
         pos = jnp.asarray(emb_ops.get_2d_sincos_pos_embed(hidden, (iph, ipw)))
         x = x + pos[None].astype(self.dtype)
+        key_mask = None
         if mask_ratio is not None:
-            x = random_mask_tokens(self.make_rng("mask"), x, mask_ratio)
+            if isinstance(mask_ratio, jax.Array):  # traced per-step jitter
+                x, keep = shuffle_mask_tokens(self.make_rng("mask"), x,
+                                              mask_ratio)
+                key_mask = jnp.concatenate(
+                    [jnp.ones((x.shape[0], ltok), bool), keep], axis=1)
+            else:
+                x = random_mask_tokens(self.make_rng("mask"), x, mask_ratio)
 
         hstate = jnp.concatenate([mtok, x], axis=1)
         for i in range(self.num_layers):
             hstate = BasicTransformerBlock(hidden, self.heads, self.head_dim,
                                            name=f"blocks_{i}",
-                                           dtype=self.dtype)(hstate)
+                                           dtype=self.dtype)(hstate, key_mask)
             # temporal mixing over the target-frame tokens
             mtok = hstate[:, :ltok].reshape(n, t, ltok, hidden)
             img = hstate[:, ltok:]
@@ -219,8 +258,16 @@ class MotionEncoderTemporalCross(nn.Module):
         # add temporal position per pixel tube
         x = x.reshape(n, t, s_full, hidden) + tpos[None, :t, None, :]
 
+        site_keep = None
         if mask_ratio is not None:  # masks spatial sites, shared across time
-            x = random_mask_tokens(self.make_rng("mask"), x, mask_ratio, axis=2)
+            if isinstance(mask_ratio, jax.Array):  # traced per-step jitter:
+                # all sites stay (each site is an independent batch row
+                # here), dropped ones are flagged for the DiT's key mask
+                x, site_keep = shuffle_mask_tokens(self.make_rng("mask"), x,
+                                                   mask_ratio, axis=2)
+            else:
+                x = random_mask_tokens(self.make_rng("mask"), x, mask_ratio,
+                                       axis=2)
         s = x.shape[2]
 
         # motion queries: motion_token_num temporal slots stretched to T
@@ -246,7 +293,10 @@ class MotionEncoderTemporalCross(nn.Module):
             mtok = nn.LayerNorm(epsilon=1e-5, use_scale=False, use_bias=False,
                                 name="norm_out")(mtok)
         # (n*s, t, c) -> (n, t, s, c)
-        return mtok.reshape(n, s, t, self.motion_channel).transpose(0, 2, 1, 3)
+        out = mtok.reshape(n, s, t, self.motion_channel).transpose(0, 2, 1, 3)
+        if site_keep is not None:
+            return out, site_keep
+        return out
 
 
 class MotionSequenceTransformer(nn.Module):

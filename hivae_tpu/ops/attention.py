@@ -23,11 +23,45 @@ import jax.numpy as jnp
 
 _DEFAULT_IMPL = "xla"
 
+# ambient mesh context for the 'ring' implementation (sequence-sharded
+# attention, SURVEY §5.7): set once by the trainer/CLI, read by every sdpa
+_RING_MESH = None
+_RING_AXIS = "tensor"
+_RING_BATCH_AXIS = None
+
 
 def set_default_implementation(impl: str) -> None:
     global _DEFAULT_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("xla", "pallas", "ring")
     _DEFAULT_IMPL = impl
+
+
+def set_ring_context(mesh=None, axis: str = "tensor",
+                     batch_axis: Optional[str] = None) -> None:
+    """Install (or clear, with mesh=None) the mesh the 'ring' implementation
+    shards sequences over. ``axis`` is the sequence-sharding mesh axis;
+    ``batch_axis`` optionally co-shards the batch dim (set it to 'data' when
+    ring runs inside a data-parallel train step)."""
+    global _RING_MESH, _RING_AXIS, _RING_BATCH_AXIS
+    _RING_MESH = mesh
+    _RING_AXIS = axis
+    _RING_BATCH_AXIS = batch_axis
+
+
+def _ring_applicable(q_shape, k_shape) -> bool:
+    if _RING_MESH is None:
+        return False
+    size = dict(_RING_MESH.shape).get(_RING_AXIS, 1)
+    if size <= 1:
+        return False
+    # both sequence dims must split evenly; anything else falls back to XLA
+    if q_shape[2] % size or k_shape[2] % size:
+        return False
+    if _RING_BATCH_AXIS is not None:
+        bsize = dict(_RING_MESH.shape).get(_RING_BATCH_AXIS, 1)
+        if q_shape[0] % bsize:
+            return False
+    return True
 
 
 def sdpa(
@@ -36,27 +70,43 @@ def sdpa(
     v: jax.Array,  # (B, H, Sk, D)
     *,
     scale: Optional[float] = None,
+    key_mask: Optional[jax.Array] = None,  # (B, Sk) bool: True = attend
     implementation: Optional[str] = None,
 ) -> jax.Array:
-    """Scaled dot-product attention, fp32 accumulation, no mask (the model
-    family uses full bidirectional attention everywhere)."""
+    """Scaled dot-product attention, fp32 accumulation.
+
+    ``key_mask`` excludes keys per batch row (used by the traced mask-ratio
+    jitter: dropped tokens stay in the sequence at static shape but are
+    invisible as keys, which is numerically identical to gathering them
+    out). The model family is otherwise fully bidirectional.
+    """
     impl = implementation or _DEFAULT_IMPL
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if impl == "pallas":
+    if impl == "pallas" and key_mask is None:
         from .pallas.flash_attention import flash_attention, supports
 
         if supports(q.shape, k.shape):
             return flash_attention(q, k, v, scale=scale)
-    return _sdpa_xla(q, k, v, scale)
+    if (impl == "ring" and key_mask is None and
+            _ring_applicable(q.shape, k.shape)):
+        from ..parallel.ring_attention import sequence_sharded_sdpa
+
+        return sequence_sharded_sdpa(q, k, v, _RING_MESH, _RING_AXIS,
+                                     scale=scale,
+                                     batch_axis=_RING_BATCH_AXIS)
+    return _sdpa_xla(q, k, v, scale, key_mask)
 
 
 @functools.partial(jax.jit, static_argnums=(3,), inline=True)
-def _sdpa_xla(q, k, v, scale):
+def _sdpa_xla(q, k, v, scale, key_mask=None):
     out_dtype = q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1)
+                        preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, None, :], logits,
+                           jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(out_dtype)
