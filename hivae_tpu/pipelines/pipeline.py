@@ -382,15 +382,21 @@ class ImageAudio2VideoPipeline:
     def sample(self, refimg_path: str, audio_emb: np.ndarray,
                output_path: Optional[str] = None,
                motion_sample_step: int = 8, video_sample_step: int = 20,
-               fps: int = 25, key: Optional[jax.Array] = None) -> np.ndarray:
+               fps: int = 25, key: Optional[jax.Array] = None,
+               max_frames: Optional[int] = None) -> np.ndarray:
         """File-level driver (reference ``:1388-1438``): image path +
-        precomputed whisper embeddings (T,M,D) -> decoded uint8 video."""
+        precomputed whisper embeddings (T,M,D) -> decoded uint8 video.
+
+        ``max_frames`` optionally caps the generated length; by default the
+        full audio length is used (round-1 silently truncated to 256)."""
         import cv2
 
         frame = cv2.cvtColor(cv2.imread(refimg_path), cv2.COLOR_BGR2RGB)
         pixels = vio.pixel_transform(frame[None], self.sample_size)
         ref_img = jnp.asarray(pixels)[None]  # (1,1,C,H,W)
-        audio_emb = jnp.asarray(audio_emb)[None][:, :256]
+        audio_emb = jnp.asarray(audio_emb)[None]
+        if max_frames is not None:
+            audio_emb = audio_emb[:, :max_frames]
 
         latents = self.predict(ref_img, audio_emb[:, :1], audio_emb[:, 1:],
                                motion_sample_step, video_sample_step, key=key)

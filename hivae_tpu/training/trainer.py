@@ -68,6 +68,14 @@ class TrainConfig:
     mu_dtype: Optional[str] = None
     # gradient accumulation (reference --gradient_accumulation_steps)
     accumulate_steps: int = 1
+    # NaN handling (reference asserts after VAE encode and on the loss every
+    # step, train_amd.py:435-436,461):
+    #   'none' — only the log-time finite check (cheapest)
+    #   'halt' — check at every sync point; dump the offending batch to
+    #            <output_dir>/nan_batch_step<N>.npz and raise
+    #   'skip' — in-step guard: a non-finite loss/grad step is dropped on
+    #            device (state kept), counted in metrics['nan_skipped']
+    nan_policy: str = "none"
 
 
 class AMDTrainer:
@@ -84,6 +92,17 @@ class AMDTrainer:
         self.lpips_params = lpips_params
         self.mesh = create_mesh(config.mesh_shape)
         self.tb = tb_writer
+
+        impl = getattr(getattr(model, "cfg", None), "attn_impl", "xla")
+        if impl != "xla":
+            from ..ops import attention as attn_ops
+
+            attn_ops.set_default_implementation(impl)
+            if impl == "ring":
+                dp = dict(self.mesh.shape).get("data", 1)
+                attn_ops.set_ring_context(
+                    self.mesh, "tensor",
+                    batch_axis="data" if dp > 1 else None)
 
         import jax.numpy as _jnp
         tx = make_optimizer(config.learning_rate, config.warmup_steps,
@@ -126,9 +145,14 @@ class AMDTrainer:
         if use_lpips:
             self._frozen["lpips"] = self.lpips_params
 
+        use_regularizers = getattr(model.cfg, "use_regularizers", False)
+
         def train_step(state: TrainState, batch, rng, frozen):
             rng = jax.random.fold_in(rng, state.step)
-            kv, kg, kn, km = jax.random.split(rng, 4)
+            # independent posterior noise per VAE encode (the reference
+            # samples each encode separately, train_amd.py:425-431; reusing
+            # one key across same-shaped tensors would correlate the noise)
+            kv, kr, kgv, kgr, kn, km, kkl = jax.random.split(rng, 7)
 
             def encode(key, pixels):
                 return vae_mod.vae_encode(vae, frozen["vae"], pixels, key)
@@ -137,18 +161,23 @@ class AMDTrainer:
             # trained params, so the frozen encoder has no business inside
             # the differentiated region
             video_z = encode(kv, batch["videos"])
-            ref_z = encode(kv, batch["ref_img"])
+            ref_z = encode(kr, batch["ref_img"])
             kwargs = {}
             if use_grey:
-                kwargs["video_grey"] = encode(kg, batch["grey_videos"])
-                kwargs["ref_img_grey"] = encode(kg, batch["ref_grey_img"])
+                kwargs["video_grey"] = encode(kgv, batch["grey_videos"])
+                kwargs["ref_img_grey"] = encode(kgr, batch["ref_grey_img"])
             if isinstance(model, amd_mod.AMDModelNew):
                 kwargs["camera_mask_ratio"] = cfg.camera_mask_ratio
                 kwargs["object_mask_ratio"] = cfg.object_mask_ratio
 
+            rngs = {"noise": kn, "mask": km}
+            if use_regularizers:
+                rngs["noise_kl"] = kkl  # KL posterior sampling (amd.py
+                # _split_project; reference model_AMD.py:343-349)
+
             def loss_fn(params):
                 _, _, loss_dict = model.apply(
-                    params, video_z, ref_z, rngs={"noise": kn, "mask": km},
+                    params, video_z, ref_z, rngs=rngs,
                     return_meta_info=use_lpips, **kwargs)
                 loss = loss_dict["loss"]
                 if use_lpips:
@@ -173,6 +202,13 @@ class AMDTrainer:
             import optax
             metrics = dict(loss_dict)
             metrics["grad_norm"] = optax.global_norm(grads)
+            if cfg.nan_policy == "skip":
+                finite = (jnp.isfinite(metrics["loss"]) &
+                          jnp.isfinite(metrics["grad_norm"]))
+                new_state = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    new_state, state)
+                metrics["nan_skipped"] = 1.0 - finite.astype(jnp.float32)
             # fp32 metrics: bf16 host fetches are not universally supported
             metrics = jax.tree.map(lambda x: x.astype(jnp.float32), metrics)
             return new_state, metrics
@@ -258,12 +294,25 @@ class AMDTrainer:
                     self._stop_profile(metrics)
 
                 if cfg.sync_every and self.global_step % cfg.sync_every == 0:
-                    float(metrics["loss"])
+                    loss_val = float(metrics["loss"])
+                    if cfg.nan_policy == "halt" and not np.isfinite(loss_val):
+                        dump = os.path.join(
+                            cfg.output_dir,
+                            f"nan_batch_step{self.global_step}.npz")
+                        os.makedirs(cfg.output_dir, exist_ok=True)
+                        np.savez(dump, **{k: np.asarray(v)
+                                          for k, v in batch.items()
+                                          if not isinstance(v, list)})
+                        raise FloatingPointError(
+                            f"non-finite loss {loss_val} at step "
+                            f"{self.global_step}; offending batch dumped to "
+                            f"{dump}")
 
                 if self.global_step % cfg.log_every == 0 or \
                         self.global_step >= limit:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
-                    if not np.isfinite(last_metrics["loss"]):
+                    if (cfg.nan_policy != "skip" and
+                            not np.isfinite(last_metrics["loss"])):
                         raise FloatingPointError(
                             f"non-finite loss at step {self.global_step}: "
                             f"{last_metrics}")

@@ -90,6 +90,7 @@ class TestVideoIO:
         assert np.all(np.diff(idx) > 0)
 
 
+@pytest.mark.slow
 class TestReconstructionPipeline:
     def test_sample(self, tiny_stack, video_file, tmp_path):
         pipe = AMDReconstructionPipeline(
@@ -111,6 +112,7 @@ class TestReconstructionPipeline:
         assert out.shape == (W + 1, 3, SIZE, SIZE)
 
 
+@pytest.mark.slow
 class TestGTMotionAblation:
     def test_windowed_reconstruction(self, tiny_stack, tmp_path):
         from hivae_tpu.pipelines import GTMotionAblationPipeline
@@ -128,6 +130,7 @@ class TestGTMotionAblation:
         assert out.shape == (2 * W + 1, 3, SIZE, SIZE)
 
 
+@pytest.mark.slow
 class TestImageAudio2Video:
     def test_predict_windows_and_tail(self, tiny_stack):
         pipe = ImageAudio2VideoPipeline(
@@ -142,7 +145,25 @@ class TestImageAudio2Video:
                            video_sample_step=2)
         assert out.shape == (1, 2 * W + 2 + 1, 4, LAT, LAT)
 
+    @pytest.mark.slow
+    def test_long_audio_generates_full_length(self, tiny_stack):
+        """Round-1 regression: `sample` silently truncated audio to 256
+        frames; the windowed autoregression must cover the full length."""
+        pipe = ImageAudio2VideoPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], tiny_stack["a2m"],
+            tiny_stack["a2m_params"], window=W, a2m_ref_num_frame=2,
+            sample_size=SIZE)
+        frames = 258  # > the old hard cap
+        ref_img = jnp.zeros((1, 1, 3, SIZE, SIZE))
+        ref_audio = jnp.zeros((1, 1, 3, 8))
+        audio = jax.random.normal(KEY, (1, frames, 3, 8))
+        out = pipe.predict(ref_img, ref_audio, audio, motion_sample_step=1,
+                           video_sample_step=1)
+        assert out.shape == (1, frames + 1, 4, LAT, LAT)
 
+
+@pytest.mark.slow
 class TestDiffMotionPipeline:
     def test_sample_diff(self, video_file, tmp_path):
         from hivae_tpu.pipelines import AMDDiffMotionPipeline
@@ -177,6 +198,7 @@ class TestDiffMotionPipeline:
         assert os.path.exists(tmp_path / "diff.mp4")
 
 
+@pytest.mark.slow
 class TestFusedEquivalence:
     def test_recon_clip_matches_staged(self, tiny_stack, video_file):
         """The fused one-program reconstruction must equal running the

@@ -14,6 +14,8 @@ from hivae_tpu.models import amd as amd_mod
 from hivae_tpu.models import vae as vae_mod
 from hivae_tpu.training.trainer import AMDTrainer, TrainConfig
 
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 SIZE, LAT, W = 32, 4, 4
 
@@ -117,3 +119,71 @@ class TestAMDTrainer:
         out = trainer.validate(batch, sample_step=2)
         assert out.shape == (4, W, 3, SIZE, SIZE)
         assert out.dtype == np.uint8
+
+
+class TestRegularizerTraining:
+    def test_kl_path_trains(self, stack, loader, tmp_path):
+        """``use_regularizers=True`` must train end-to-end: the step has to
+        thread a 'noise_kl' rng for the KL posterior sampling (reference
+        model_AMD.py:343-349; round-1 bug: missing rng -> trace error)."""
+        _, _, vae, vae_params = stack
+        cfg = amd_mod.AMDConfig(
+            image_height=LAT, image_width=LAT, image_patch_size=1,
+            video_frames=W, use_regularizers=True, use_motiontemporal=False,
+            object_motion_token_num=2, object_motion_token_channel=16,
+            object_enc_num_layers=1, enc_nhead=2, enc_ndim=8,
+            camera_motion_token_num=2, camera_motion_token_channel=16,
+            camera_enc_num_layers=1, motion_token_num=2,
+            motion_token_channel=16, diffusion_model_type="default",
+            motion_type="plus", diffusion_attn_head_dim=8,
+            diffusion_attn_num_heads=2, diffusion_num_layers=1)
+        model = amd_mod.AMDModel(cfg=cfg)
+        v = jnp.zeros((1, W, 4, LAT, LAT))
+        params = model.init({"params": KEY, "noise": KEY, "noise_kl": KEY},
+                            v, v)
+        config = TrainConfig(output_dir=str(tmp_path / "kl"), max_steps=2,
+                             log_every=1, save_every=100,
+                             mesh_shape=(2, 2, 2))
+        trainer = AMDTrainer(model, params, vae, vae_params, config)
+        metrics = trainer.fit(_stream(loader))
+        assert "KLloss" in metrics
+        assert np.isfinite(metrics["KLloss"])
+        assert np.isfinite(metrics["loss"])
+
+
+class TestNanGuard:
+    def _nan_stream(self, loader):
+        for b in loader:
+            bad = dict(b)
+            bad["videos"] = np.full_like(b["videos"], np.nan)
+            yield bad
+
+    def test_skip_policy_drops_bad_step(self, stack, loader, tmp_path):
+        model, params, vae, vae_params = stack
+        config = TrainConfig(output_dir=str(tmp_path / "skip"), max_steps=1,
+                             log_every=1, save_every=100, nan_policy="skip",
+                             mesh_shape=(2, 2, 2))
+        trainer = AMDTrainer(model, params, vae, vae_params, config)
+        before = jax.device_get(trainer.state.params)
+        metrics = trainer.fit(self._nan_stream(loader))
+        assert metrics["nan_skipped"] == 1.0
+        after = jax.device_get(trainer.state.params)
+        # the poisoned step must not have touched the params
+        leaves_b = jax.tree.leaves(before)
+        leaves_a = jax.tree.leaves(after)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_halt_policy_dumps_batch(self, stack, loader, tmp_path):
+        model, params, vae, vae_params = stack
+        out = tmp_path / "halt"
+        config = TrainConfig(output_dir=str(out), max_steps=2, log_every=1,
+                             save_every=100, nan_policy="halt",
+                             mesh_shape=(2, 2, 2))
+        trainer = AMDTrainer(model, params, vae, vae_params, config)
+        with pytest.raises(FloatingPointError, match="dumped"):
+            trainer.fit(self._nan_stream(loader))
+        dumps = list(out.glob("nan_batch_step*.npz"))
+        assert len(dumps) == 1
+        data = np.load(dumps[0])
+        assert np.isnan(data["videos"]).all()

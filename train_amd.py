@@ -42,6 +42,11 @@ def parse_args():
                    choices=[None, "bf16"],
                    help="bf16 Adam moments halve optimizer HBM")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--nan_policy", type=str, default="none",
+                   choices=["none", "halt", "skip"],
+                   help="non-finite loss handling: halt = dump batch + "
+                        "raise (reference assert semantics), skip = drop "
+                        "the step on device and continue")
     p.add_argument("--mesh", type=str, default=None,
                    help="data,fsdp,tensor e.g. '4,2,1'; default all-data")
     # model
@@ -79,6 +84,10 @@ def parse_args():
     p.add_argument("--remat", type=str2bool, default=False)
     p.add_argument("--scan_layers", type=str2bool, default=False,
                    help="nn.scan-stack DiT layers (faster compiles)")
+    p.add_argument("--attn_impl", type=str, default="xla",
+                   choices=["xla", "pallas", "ring"],
+                   help="attention kernel; 'ring' = sequence-sharded over "
+                        "the mesh tensor axis (long-window scaling)")
     # data
     p.add_argument("--dataset", type=str, default="AMDConsecutiveVideo")
     p.add_argument("--video_dir", type=str, required=True)
@@ -116,7 +125,8 @@ def build_model(args, dtype):
               object_enc_num_layers=args.object_enc_num_layers,
               camera_enc_num_layers=args.camera_enc_num_layers,
               image_patch_size=args.image_patch_size,
-              remat=args.remat, scan_layers=args.scan_layers)
+              remat=args.remat, scan_layers=args.scan_layers,
+              attn_impl=args.attn_impl)
     cls = {"AMD_N": amd.AMDModelNew, "AMD_S": amd.AMDModel,
            "AMD_L": amd.AMDModel}.get(args.model_type)
     if cls is None:
@@ -135,8 +145,18 @@ def main():
     import jax
 
     if os.environ.get("HIVAE_MULTIHOST") == "1":
-        # multihost pod: one process per host; the mesh spans all devices
-        jax.distributed.initialize()
+        # multihost pod: one process per host; the mesh spans all devices.
+        # On TPU pods initialize() autodetects the topology; for explicit
+        # topologies (and the CPU-based multiprocess test) set
+        # HIVAE_COORDINATOR / HIVAE_NUM_PROCESSES / HIVAE_PROCESS_ID.
+        # See docs/MULTIHOST.md.
+        kw = {}
+        if os.environ.get("HIVAE_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["HIVAE_COORDINATOR"],
+                num_processes=int(os.environ["HIVAE_NUM_PROCESSES"]),
+                process_id=int(os.environ["HIVAE_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
     import jax.numpy as jnp
 
     from hivae_tpu.utils.cache import enable_compile_cache
@@ -217,7 +237,8 @@ def main():
         camera_mask_ratio=args.camera_mask_ratio,
         object_mask_ratio=args.object_mask_ratio,
         profile_steps=args.profile_steps, mu_dtype=args.mu_dtype,
-        accumulate_steps=args.gradient_accumulation_steps)
+        accumulate_steps=args.gradient_accumulation_steps,
+        nan_policy=args.nan_policy)
 
     tb = SummaryWriter(os.path.join(out_dir, "tracker")) \
         if jax.process_index() == 0 else None
