@@ -55,15 +55,17 @@ def sequence_sharded_sdpa(
     q: jax.Array, k: jax.Array, v: jax.Array,
     mesh: Mesh, axis: str = "tensor",
     scale: Optional[float] = None,
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """Exact SDPA with the sequence dim sharded over ``mesh[axis]``.
 
     q,k,v: (B, H, S, D) with S divisible by the axis size. Returns (B,H,S,D)
-    sharded the same way.
+    sharded the same way. ``batch_axis`` additionally shards the batch dim
+    (compose with data parallelism: B must divide by that axis size).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    spec = P(None, None, axis, None)
+    spec = P(batch_axis, None, axis, None)
     fn = jax.shard_map(
         functools.partial(_ring_attn_local, axis_name=axis, scale=scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

@@ -56,3 +56,90 @@ class TestRingAttention:
             out = sequence_sharded_sdpa(q, k, v, mesh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+class TestModelRingIntegration:
+    """SURVEY §5.7: ring attention selectable on the model family via
+    ``AMDConfig.attn_impl='ring'`` — a full AMDModelNew forward + grad with
+    every attention sequence-sharded over the mesh 'tensor' axis must match
+    the unsharded path."""
+
+    def test_amd_forward_and_grad_match_unsharded(self):
+        from hivae_tpu.models import amd
+
+        tiny = dict(image_height=16, image_width=16, video_frames=4,
+                    object_motion_token_num=4, object_motion_token_channel=32,
+                    object_enc_num_layers=1, enc_nhead=2, enc_ndim=16,
+                    camera_motion_token_num=4, camera_motion_token_channel=16,
+                    camera_enc_num_layers=1, motion_token_num=4,
+                    motion_token_channel=32, diffusion_attn_head_dim=16,
+                    diffusion_attn_num_heads=4, diffusion_num_layers=1,
+                    use_filter=True, use_grey=True,
+                    diffusion_model_type="spatial")
+        key = jax.random.PRNGKey(0)
+        video = jax.random.normal(key, (2, 4, 4, 16, 16))
+        ref = jnp.broadcast_to(video[:, :1], video.shape)
+        model = amd.AMDModelNew(cfg=amd.AMDConfig(**tiny))
+        params = model.init({"params": key, "noise": key}, video, ref,
+                            video, ref)
+
+        def loss_fn(p):
+            _, _, ld = model.apply(p, video, ref, video, ref,
+                                   rngs={"noise": key})
+            return ld["loss"]
+
+        loss_x = float(jax.jit(loss_fn)(params))
+        grads_x = jax.jit(jax.grad(loss_fn))(params)
+
+        mesh = create_mesh((1, 1, 2))
+        A.set_default_implementation("ring")
+        A.set_ring_context(mesh, "tensor")
+        try:
+            with mesh:
+                # one jitted program per pass: eager per-op shard_map
+                # dispatch on the virtual mesh is prohibitively slow
+                loss_r = float(jax.jit(loss_fn)(params))
+                grads_r = jax.jit(jax.grad(loss_fn))(params)
+        finally:
+            A.set_default_implementation("xla")
+            A.set_ring_context(None)
+
+        assert abs(loss_x - loss_r) < 1e-4
+        for gx, gr in zip(jax.tree.leaves(grads_x), jax.tree.leaves(grads_r)):
+            np.testing.assert_allclose(np.asarray(gr), np.asarray(gx),
+                                       rtol=5e-3, atol=5e-4)
+
+    def test_ring_model_sampling(self):
+        """The jitted Euler sampler must also run ring-sharded."""
+        from hivae_tpu.models import amd
+
+        tiny = dict(image_height=16, image_width=16, video_frames=4,
+                    object_motion_token_num=4, object_motion_token_channel=32,
+                    object_enc_num_layers=1, enc_nhead=2, enc_ndim=16,
+                    camera_motion_token_num=4, camera_motion_token_channel=16,
+                    camera_enc_num_layers=1, motion_token_num=4,
+                    motion_token_channel=32, diffusion_attn_head_dim=16,
+                    diffusion_attn_num_heads=4, diffusion_num_layers=1,
+                    use_filter=True, use_grey=True,
+                    diffusion_model_type="spatial", attn_impl="ring")
+        key = jax.random.PRNGKey(0)
+        video = jax.random.normal(key, (2, 4, 4, 16, 16))
+        ref = jnp.broadcast_to(video[:, :1], video.shape)
+        model = amd.AMDModelNew(cfg=amd.AMDConfig(**tiny))
+        params = model.init({"params": key, "noise": key}, video, ref,
+                            video, ref)
+        mesh = create_mesh((1, 1, 2))
+        A.set_default_implementation("ring")
+        A.set_ring_context(mesh, "tensor")
+        try:
+            with mesh:
+                _, zt_r, _ = amd.sample(model, params, key, video, ref,
+                                        video, ref, sample_step=2)
+        finally:
+            A.set_default_implementation("xla")
+            A.set_ring_context(None)
+        _, zt_x, _ = amd.sample(model, params, key, video, ref, video, ref,
+                                sample_step=2)
+        np.testing.assert_allclose(np.asarray(zt_r), np.asarray(zt_x),
+                                   rtol=5e-3, atol=5e-4)
