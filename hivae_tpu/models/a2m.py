@@ -258,6 +258,15 @@ class A2MConfig:
     pose_predictor_attn_head_dim: int = 64
     pose_predictor_attn_num_heads: int = 8
     pose_predictor_attn_num_layers: int = 4
+    # grid-motion legacy variant (A2MModelMlp; reference model_A2M.py:212)
+    motion_height: int = 4
+    motion_width: int = 4
+    motion_patch_size: int = 1
+    image_inchannel: int = 4
+    image_height: int = 32
+    image_width: int = 32
+    image_patch_size: int = 2
+    time_embed_dim: int = 512
 
     @classmethod
     def from_dict(cls, d):
@@ -479,6 +488,165 @@ class A2MModelLearnableToken(nn.Module):
 
     def conditions(self, audio=None, **_):
         return {"audio_feature": self.audio_encoder(audio)}
+
+
+class Audio2MotionGridDiT(nn.Module):
+    """Three-stream grid-motion denoiser (reference
+    ``downstream_tasks/modules.py:1063-1270`` ``Audio2MotionAllSequence``):
+    streams = patchified motion grids with 3-D positions, channel-concat
+    (refimg ‖ pose) patch tokens with 2-D positions, and linearly embedded
+    audio tokens; ``JointBlock2Condition`` blocks; AdaLN head unpatchified
+    back to (N, F, C, h, w)."""
+
+    heads: int = 16
+    head_dim: int = 64
+    motion_in_channels: int = 256
+    refimg_in_channels: int = 4
+    extra_in_channels: int = 768
+    out_channels: int = 256
+    num_layers: int = 8
+    image_height: int = 32
+    image_width: int = 32
+    image_patch_size: int = 2
+    motion_height: int = 4
+    motion_width: int = 4
+    motion_patch_size: int = 1
+    motion_frames: int = 15
+    time_embed_dim: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, motion_hidden_states, refimg_hidden_states,
+                 pose_hidden_states, extra_hidden_states, timestep):
+        """motion (N,F,Cm,Hm,Wm), refimg/pose (N,C,H,W), extra (N,F,D),
+        timestep (N,) -> velocity (N,F,Cm,Hm,Wm)."""
+        hidden = self.heads * self.head_dim
+        n, f, cm, hm, wm = motion_hidden_states.shape
+        p = self.motion_patch_size
+        mph, mpw = hm // p, wm // p
+        iph = self.image_height // self.image_patch_size
+        ipw = self.image_width // self.image_patch_size
+
+        emb = TimestepEmbedding(hidden, self.time_embed_dim,
+                                name="time_embedding",
+                                dtype=self.dtype)(timestep)
+
+        motion = PatchEmbed(p, hidden, name="motion_patch_embed",
+                            dtype=self.dtype)(
+            motion_hidden_states.reshape(n * f, cm, hm, wm))
+        motion = motion.reshape(n, f * mph * mpw, hidden)
+        mot_pos = jnp.asarray(emb_ops.get_3d_sincos_pos_embed(
+            hidden, (mph, mph), f)).reshape(1, -1, hidden).astype(self.dtype)
+        motion = motion + mot_pos[:, :f * mph * mpw]
+
+        ref_pose = jnp.concatenate([refimg_hidden_states,
+                                    pose_hidden_states], axis=1)
+        ref_pose = PatchEmbed(self.image_patch_size, hidden,
+                              name="refimg_pose_patch_embed",
+                              dtype=self.dtype)(ref_pose)
+        img_pos = jnp.asarray(emb_ops.get_2d_sincos_pos_embed(
+            hidden, (iph, ipw))).astype(self.dtype)
+        ref_pose = ref_pose + img_pos[None]
+
+        extra = nn.Dense(hidden, name="extra_embed",
+                         dtype=self.dtype)(extra_hidden_states)
+
+        for i in range(self.num_layers):
+            motion, ref_pose, extra = JointBlock2Condition(
+                hidden, self.heads, self.head_dim, name=f"blocks_{i}",
+                dtype=self.dtype)(motion, ref_pose, extra, emb)
+
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(motion)
+        x = AdaLayerNorm(hidden, name="norm_out", dtype=self.dtype)(x, emb)
+        x = nn.Dense(p * p * self.out_channels, name="proj_out",
+                     dtype=self.dtype)(x)
+        out = unpatchify(x.reshape(n * f, mph * mpw, -1), hm, wm, p,
+                         self.out_channels)
+        return out.reshape(n, f, self.out_channels, hm, wm)
+
+
+class A2MModelMlp(nn.Module):
+    """Legacy grid-motion A2M head (reference ``A2MModel_Mlp``,
+    ``model_A2M.py:212-385``): MLP audio encoder + the grid DiT above, RF
+    velocity loss over (N,F,C,h,w) motion grids.
+
+    The reference's ``sample`` is dead code (it calls the one-argument
+    ``AudioFeatureMlp`` with two arguments, ``:353``); ``sample`` here
+    implements the evident intent (encode audio, Euler-walk the grid).
+    """
+
+    cfg: A2MConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.audio_encoder = AudioFeatureMlp(outdim=c.encoder_out_dim,
+                                             dtype=self.dtype)
+        self.diffusion = Audio2MotionGridDiT(
+            heads=c.diffusion_attn_num_heads,
+            head_dim=c.diffusion_attn_head_dim,
+            motion_in_channels=c.motion_in_channel,
+            refimg_in_channels=c.image_inchannel,
+            extra_in_channels=c.encoder_out_dim,
+            out_channels=c.motion_in_channel,
+            num_layers=c.diffusion_num_layers,
+            image_height=c.image_height, image_width=c.image_width,
+            image_patch_size=c.image_patch_size,
+            motion_height=c.motion_height, motion_width=c.motion_width,
+            motion_patch_size=c.motion_patch_size,
+            motion_frames=c.motion_frames,
+            time_embed_dim=c.time_embed_dim, dtype=self.dtype)
+
+    def __call__(self, motion_gt, ref_img, audio, pose=None, ref_pose=None,
+                 time_step=None):
+        """motion_gt (N,F,C,h,w), ref_img/ref_pose (N,C,H,W),
+        audio (N,F,M,D). Needs the 'noise' rng."""
+        c = self.cfg
+        n = motion_gt.shape[0]
+        if ref_pose is None:
+            ref_pose = jnp.zeros_like(ref_img)
+        audio_feature = self.audio_encoder(audio)
+
+        kt, kz = jax.random.split(self.make_rng("noise"))
+        if time_step is None:
+            time_step = jax.random.randint(kt, (n,), 0, c.num_step + 1)
+        noise = jax.random.normal(kz, motion_gt.shape, motion_gt.dtype)
+        t = rf.timestep_to_time(time_step, c.num_step,
+                                ndim=motion_gt.ndim)
+        zt = t * motion_gt + (1.0 - t) * noise
+        vel_gt = motion_gt - noise
+
+        vel_pred = self.diffusion(zt, ref_img, ref_pose, audio_feature,
+                                  time_step.astype(jnp.float32))
+        d = (vel_pred.astype(jnp.float32) - vel_gt.astype(jnp.float32))
+        diff_loss = jnp.mean(jnp.square(d))
+        return {"loss": diff_loss, "diff_loss": diff_loss}
+
+    def velocity(self, zt, ref_img, ref_pose, audio_feature, timestep):
+        return self.diffusion(zt, ref_img, ref_pose, audio_feature, timestep)
+
+    def encode_audio(self, audio):
+        return self.audio_encoder(audio)
+
+
+def sample_grid(model: A2MModelMlp, params, key, ref_img, audio,
+                ref_pose=None, sample_step: int = 10):
+    """Euler-sample a (N,F,C,h,w) motion grid from audio + reference image."""
+    cfg: A2MConfig = model.cfg
+    n = ref_img.shape[0]
+    f = audio.shape[1]
+    if ref_pose is None:
+        ref_pose = jnp.zeros_like(ref_img)
+    audio_feature = model.apply(params, audio, method="encode_audio")
+    z0 = jax.random.normal(key, (n, f, cfg.motion_in_channel,
+                                 cfg.motion_height, cfg.motion_width))
+    step_seq = rf.sample_step_sequence(sample_step, cfg.num_step)
+
+    def vel_fn(zt, tstep):
+        return model.apply(params, zt, ref_img, ref_pose, audio_feature,
+                           tstep, method="velocity")
+
+    return rf.euler_sample(vel_fn, z0, step_seq)
 
 
 def sample(model, params, key, ref_motion, frames: int,

@@ -117,3 +117,30 @@ class TestPosePre:
         pp = model.apply(params, audio, audio[:, 0], pose[:, 0],
                          method="predict_pose")
         assert pp.shape == (2, 5, 4, 8, 8)
+
+
+class TestA2MMlpGrid:
+    """Legacy grid-motion variant (reference A2MModel_Mlp,
+    model_A2M.py:212-385)."""
+
+    def test_forward_and_sample(self):
+        from hivae_tpu.models.a2m import A2MConfig, A2MModelMlp, sample_grid
+
+        cfg = A2MConfig(audio_inchannel=8, audio_block=3,
+                        motion_in_channel=6, motion_frames=2,
+                        motion_height=4, motion_width=4,
+                        image_inchannel=4, image_height=8, image_width=8,
+                        image_patch_size=2, encoder_out_dim=16,
+                        time_embed_dim=32, diffusion_attn_head_dim=8,
+                        diffusion_attn_num_heads=2, diffusion_num_layers=2)
+        m = A2MModelMlp(cfg=cfg)
+        n, f = 2, 2
+        motion = jax.random.normal(KEY, (n, f, 6, 4, 4))
+        ref_img = jax.random.normal(KEY, (n, 4, 8, 8))
+        audio = jax.random.normal(KEY, (n, f, 3, 8))
+        p = m.init({"params": KEY, "noise": KEY}, motion, ref_img, audio)
+        ld = m.apply(p, motion, ref_img, audio, rngs={"noise": KEY})
+        assert np.isfinite(float(ld["loss"]))
+        z = sample_grid(m, p, KEY, ref_img, audio, sample_step=2)
+        assert z.shape == (n, f, 6, 4, 4)
+        assert bool(jnp.all(jnp.isfinite(z)))

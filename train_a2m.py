@@ -22,7 +22,7 @@ def parse_args():
     p.add_argument("--checkpoint_total_limit", type=int, default=2)
     # models
     p.add_argument("--a2m_config", type=str, required=True,
-                   help="json: {model_type, model: {...}}")
+                   help="json or yaml: {model_type, model: {...}}")
     p.add_argument("--amd_config", type=str, required=True)
     p.add_argument("--amd_ckpt", type=str, required=True)
     p.add_argument("--vae_ckpt", type=str, default=None)
@@ -95,9 +95,16 @@ def main():
         state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
         vae_params, _ = convert_torch_state(vae_params, state, strict=False)
 
-    # audio decoder under training
+    # audio decoder under training (json, or the reference's OmegaConf
+    # yaml files, e.g. config/a2m/cross_audio_t1d512_l16_dim1024.yaml)
     with open(args.a2m_config) as f:
-        spec = json.load(f)
+        text = f.read()
+    if args.a2m_config.endswith((".yaml", ".yml")):
+        import yaml
+
+        spec = yaml.safe_load(text)
+    else:
+        spec = json.loads(text)
     a2m_model, a2m_cfg = build_a2m(spec, dtype)
     def _init_a2m():
         # inputs built inside the CPU scope to avoid cross-backend copies
