@@ -6,6 +6,10 @@ import os
 import jax
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _load():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -10,6 +10,9 @@ import torch.nn.functional as F
 
 from hivae_tpu.models import blocks as B
 
+import pytest
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 

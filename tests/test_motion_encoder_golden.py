@@ -11,6 +11,9 @@ import torch.nn.functional as F
 from hivae_tpu.models.motion_encoders import MotionEncoderTemporalCross
 from hivae_tpu.ops import embeddings as emb_ops
 
+import pytest
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from hivae_tpu.models import amd
 from hivae_tpu.utils import torch_convert as tc
 
+import pytest
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 CFG = dict(image_height=16, image_width=16, video_frames=4,

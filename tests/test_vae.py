@@ -2,6 +2,7 @@
 round-trips, and torch-checkpoint conversion (name map + layouts)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -83,6 +84,7 @@ TINY_CFG = vae_mod.VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
                              norm_num_groups=4)
 
 
+@pytest.mark.slow
 class TestAutoencoderKL:
     def test_roundtrip_shapes(self):
         model = vae_mod.AutoencoderKL(cfg=TINY_CFG)
