@@ -3,10 +3,19 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md); the driver-set target is
->=10x PyTorch-CPU and A100-parity frames/sec/chip. ``A100_FPS`` below is the
-anchor for ``vs_baseline``: a fp16 torch sd-vae-ft-mse encode+decode of
-256x256 frames sustains on the order of 60 frames/s on one A100 — so
-vs_baseline >= 1.0 means A100 parity.
+>=10x PyTorch-CPU and A100-parity frames/sec/chip.
+
+``A100_FPS`` (the ``vs_baseline`` anchor) is a derived roofline figure, not
+a measurement: one 16-frame roundtrip costs 14.14 TFLOP (XLA cost analysis:
+encode 4.30 + decode 9.84 TFLOP, benchmarks/RESULTS.md), so 60 frames/s
+corresponds to an A100 (312 TFLOP/s fp16 dense peak) sustaining ~17% MFU on
+the sd-vae conv stack — the ballpark eager-torch fp16 diffusers VAEs reach
+in practice. vs_baseline >= 1.0 therefore means "at least A100-class";
+the measured TPU number's own MFU is reported in RESULTS.md (~80% of a
+v5e's 197 TFLOP/s bf16 peak).
+
+Timing note: ``block_until_ready`` is a no-op through the axon relay, so the
+loop is fenced by a scalar host fetch (a real device sync) instead.
 """
 
 import json
@@ -38,17 +47,21 @@ def main():
     encode = jax.jit(lambda x: model.apply(params, x, method="encode_moments"))
     decode = jax.jit(lambda z: model.apply(params, z, method="decode"))
 
+    def sync(x):
+        # scalar fetch = real device fence (relay block_until_ready no-ops)
+        return float(jnp.sum(x[0, 0, 0, :4].astype(jnp.float32)))
+
     # warmup / compile
     z = encode(img)[:, :4]
     out = decode(z)
-    out.block_until_ready()
+    sync(out)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         z = encode(img)[:, :4]
         out = decode(z)
-    out.block_until_ready()
+    sync(out)
     dt = time.perf_counter() - t0
 
     fps = FRAMES * iters / dt
