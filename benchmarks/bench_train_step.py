@@ -24,6 +24,12 @@ def main():
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "dots"])
+    p.add_argument("--attn_impl", type=str, default="xla",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--mu_dtype", type=str, default="fp32",
+                   choices=["fp32", "bf16"])
     args = p.parse_args()
 
     from hivae_tpu.models import amd
@@ -41,7 +47,9 @@ def main():
                       object_motion_token_channel=512,
                       motion_token_num=4, motion_token_channel=512,
                       diffusion_model_type="spatial",
-                      remat=not args.no_remat)
+                      remat=not args.no_remat,
+                      remat_policy=args.remat_policy,
+                      attn_impl=args.attn_impl)
 
     key = jax.random.PRNGKey(0)
     shape = (args.batch, args.frames, 4, 32, 32)
@@ -54,7 +62,8 @@ def main():
     print(f"params: {n_params/1e6:.1f}M")
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
-    state = TrainState.create(params, make_optimizer(1e-4))
+    state = TrainState.create(params, make_optimizer(
+        1e-4, mu_dtype=jnp.bfloat16 if args.mu_dtype == "bf16" else None))
     raw_step = make_train_step(model)
 
     def step_scalar(state, batch, rng):

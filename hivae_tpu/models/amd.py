@@ -113,13 +113,20 @@ class AMDConfig:
     # TPU-side option: activation-checkpoint the DiT blocks (the reference's
     # gradient_checkpointing switch)
     remat: bool = False
+    # 'full' | 'dots': what the checkpointed blocks may keep. 'dots' saves
+    # matmul outputs (jax.checkpoint_policies.dots_with_no_batch_dims_
+    # saveable) and recomputes only the elementwise tail — higher MFU when
+    # HBM has headroom
+    remat_policy: str = "full"
     # stack DiT layers with nn.scan (faster compiles; stacked param layout)
     scan_layers: bool = False
-    # attention implementation: 'xla' | 'pallas' | 'ring'. 'ring' shards
-    # every attention's sequence dim over the mesh 'tensor' axis
-    # (parallel/ring_attention.py; SURVEY §5.7) so long windows scale past
-    # one chip's HBM; non-divisible sequences fall back to XLA per-op
-    attn_impl: str = "xla"
+    # attention implementation: 'auto' | 'xla' | 'pallas' | 'ring'. 'auto'
+    # picks per-op by measured crossover (XLA <=512 tokens, Pallas fused
+    # kernel above). 'ring' shards every attention's sequence dim over the
+    # mesh 'tensor' axis (parallel/ring_attention.py; SURVEY §5.7) so long
+    # windows scale past one chip's HBM; non-divisible sequences fall back
+    # to XLA per-op
+    attn_impl: str = "auto"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "AMDConfig":
@@ -208,7 +215,8 @@ class AMDModelNew(nn.Module):
                       image_in_channels=c.image_inchannel * 2,
                       motion_token_num=c.motion_token_num,
                       motion_target_num_frame=c.video_frames,
-                      remat=c.remat, dtype=self.dtype)
+                      remat=c.remat, remat_policy=c.remat_policy,
+                      dtype=self.dtype)
         if c.diffusion_model_type == "default":
             self.diffusion_transformer = VelocityDiTTempMotion(
                 object_motion_in_channels=c.object_motion_token_channel,
@@ -458,7 +466,8 @@ class AMDModel(nn.Module):
                       image_in_channels=c.image_inchannel * 2,
                       motion_token_num=c.motion_token_num,
                       motion_in_channels=c.motion_token_channel,
-                      remat=c.remat, dtype=self.dtype)
+                      remat=c.remat, remat_policy=c.remat_policy,
+                      dtype=self.dtype)
         if c.diffusion_model_type == "default":
             self.diffusion_transformer = VelocityDiT(
                 motion_type=c.motion_type, **dit_kw)

@@ -70,16 +70,27 @@ class _DiTBase(nn.Module):
     motion_in_channels: int = 128
     time_embed_dim: int = 512
     remat: bool = False
+    # 'full' recomputes the whole block in the backward pass (min memory);
+    # 'dots' saves matmul outputs and recomputes only the cheap elementwise
+    # tail (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) —
+    # trades HBM for MFU when the chip has headroom
+    remat_policy: str = "full"
     dtype: Dtype = jnp.float32
 
     @property
     def hidden_dim(self):
         return self.heads * self.head_dim
 
+    def _remat_kwargs(self):
+        if self.remat_policy == "dots":
+            return {"policy":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable}
+        return {}
+
     def _blk(self, cls):
         """Optionally wrap a block class in nn.remat (activation
         checkpointing; reference gradient_checkpointing plumbing)."""
-        return nn.remat(cls) if self.remat else cls
+        return nn.remat(cls, **self._remat_kwargs()) if self.remat else cls
 
     def _time_emb(self, timestep):
         return TimestepEmbedding(self.hidden_dim, self.time_embed_dim,
@@ -220,7 +231,8 @@ class VelocityDiTTempMotion(_DiTBase):
         motion = motion + _pos1d(hidden, msl, self.dtype)
 
         if self.scan_layers:
-            layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False) \
+            layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False,
+                                 **self._remat_kwargs()) \
                 if self.remat else _SpatialTempLayer
             Stacked = nn.scan(layer_cls, variable_axes={"params": 0},
                               split_rngs={"params": True},
@@ -345,7 +357,8 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
             motion = motion + _pos1d(hidden, msl, self.dtype)
 
         if self.scan_layers and motion is not None and cam is not None:
-            layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False) \
+            layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False,
+                                 **self._remat_kwargs()) \
                 if self.remat else _SpatialTempLayer
             Stacked = nn.scan(
                 layer_cls,

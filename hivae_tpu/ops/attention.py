@@ -4,10 +4,13 @@ The reference runs all attention through diffusers ``Attention`` (torch SDPA,
 cuDNN). Here the core op is a single function over (B, H, S, D) arrays so the
 model layer stays independent of the kernel choice:
 
-  * ``xla``: einsum + fp32 softmax — XLA fuses this well for the short
-    sequences in this model family (<=~2k tokens);
-  * ``pallas``: fused flash-attention kernel (ops/pallas/flash_attention.py)
-    used when shapes are TPU-tile friendly.
+  * ``auto`` (default): XLA below the measured ~512-token crossover, the
+    fused Pallas kernel above it (see benchmarks/RESULTS.md);
+  * ``xla``: einsum + fp32 softmax — XLA fuses this best for short
+    sequences;
+  * ``pallas``: fused attention kernel (ops/pallas/flash_attention.py),
+    forward + custom-VJP backward, ~3x XLA at 1024 tokens;
+  * ``ring``: sequence-sharded over a mesh axis (parallel/ring_attention.py).
 
 Numerics: logits and softmax always accumulate in fp32 regardless of the
 compute dtype (bf16) — required for the PSNR-parity targets (SURVEY.md §7).
@@ -21,7 +24,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_IMPL = "xla"
+_DEFAULT_IMPL = "auto"
+
+# measured crossover on v5e (benchmarks/RESULTS.md): XLA's fused softmax
+# wins up to ~512 tokens; past that its S*S logits spill to HBM and the
+# Pallas full-block kernel wins ~3x fwd / ~2x grad at 1024. 'auto' switches
+# on the logits footprint (sq*sk).
+_PALLAS_MIN_LOGITS = 512 * 512
 
 # ambient mesh context for the 'ring' implementation (sequence-sharded
 # attention, SURVEY §5.7): set once by the trainer/CLI, read by every sdpa
@@ -32,7 +41,7 @@ _RING_BATCH_AXIS = None
 
 def set_default_implementation(impl: str) -> None:
     global _DEFAULT_IMPL
-    assert impl in ("xla", "pallas", "ring")
+    assert impl in ("auto", "xla", "pallas", "ring")
     _DEFAULT_IMPL = impl
 
 
@@ -81,13 +90,19 @@ def sdpa(
     out). The model family is otherwise fully bidirectional.
     """
     impl = implementation or _DEFAULT_IMPL
+    if impl == "auto":
+        impl = ("pallas" if q.shape[2] * k.shape[2] > _PALLAS_MIN_LOGITS
+                else "xla")
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if impl == "pallas" and key_mask is None:
+    if impl == "pallas":
         from .pallas.flash_attention import flash_attention, supports
 
         if supports(q.shape, k.shape):
-            return flash_attention(q, k, v, scale=scale)
+            bias = None
+            if key_mask is not None:
+                bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)
+            return flash_attention(q, k, v, scale=scale, bias=bias)
     if (impl == "ring" and key_mask is None and
             _ring_applicable(q.shape, k.shape)):
         from ..parallel.ring_attention import sequence_sharded_sdpa

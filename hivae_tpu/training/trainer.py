@@ -93,16 +93,15 @@ class AMDTrainer:
         self.mesh = create_mesh(config.mesh_shape)
         self.tb = tb_writer
 
-        impl = getattr(getattr(model, "cfg", None), "attn_impl", "xla")
-        if impl != "xla":
-            from ..ops import attention as attn_ops
+        impl = getattr(getattr(model, "cfg", None), "attn_impl", "auto")
+        from ..ops import attention as attn_ops
 
-            attn_ops.set_default_implementation(impl)
-            if impl == "ring":
-                dp = dict(self.mesh.shape).get("data", 1)
-                attn_ops.set_ring_context(
-                    self.mesh, "tensor",
-                    batch_axis="data" if dp > 1 else None)
+        attn_ops.set_default_implementation(impl)
+        if impl == "ring":
+            dp = dict(self.mesh.shape).get("data", 1)
+            attn_ops.set_ring_context(
+                self.mesh, "tensor",
+                batch_axis="data" if dp > 1 else None)
 
         import jax.numpy as _jnp
         tx = make_optimizer(config.learning_rate, config.warmup_steps,

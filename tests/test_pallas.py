@@ -12,7 +12,8 @@ KEY = jax.random.PRNGKey(0)
 
 
 class TestFusedAttention:
-    @pytest.mark.parametrize("shape", [(2, 4, 64, 32), (1, 2, 260, 64)])
+    @pytest.mark.parametrize("shape", [(2, 4, 64, 32), (1, 2, 260, 64),
+                                       (2, 16, 260, 64), (1, 1, 20, 8)])
     def test_matches_xla(self, shape):
         b, h, s, d = shape
         q = jax.random.normal(KEY, shape)
@@ -31,6 +32,57 @@ class TestFusedAttention:
         out = flash_attention(q, k, v, scale=32 ** -0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
+
+    def test_key_mask_matches_xla(self):
+        b, h, s, d = 2, 4, 36, 32
+        q = jax.random.normal(KEY, (b, h, s, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
+        mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.7, (b, s))
+        mask = mask.at[:, 0].set(True)  # keep >=1 key per row
+        ref = A.sdpa(q, k, v, key_mask=mask, implementation="xla")
+        out = A.sdpa(q, k, v, key_mask=mask, implementation="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("shape", [(1, 2, 20, 16), (1, 2, 64, 32)])
+    def test_grad_matches_xla(self, shape):
+        b, h, s, d = shape
+        q = jax.random.normal(KEY, shape)
+        k = jax.random.normal(jax.random.PRNGKey(1), shape)
+        v = jax.random.normal(jax.random.PRNGKey(2), shape)
+
+        def loss(fn, q, k, v):
+            return jnp.sum(jnp.sin(fn(q, k, v)))
+
+        ref_fn = lambda q, k, v: A.sdpa(q, k, v, implementation="xla")
+        pal_fn = lambda q, k, v: flash_attention(q, k, v, scale=d ** -0.5)
+        g_ref = jax.grad(lambda *a: loss(ref_fn, *a), argnums=(0, 1, 2))(
+            q, k, v)
+        g_pal = jax.grad(lambda *a: loss(pal_fn, *a), argnums=(0, 1, 2))(
+            q, k, v)
+        for a, b_ in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=5e-3, atol=5e-3)
+
+    def test_grad_with_mask(self):
+        b, h, s, d = 1, 2, 20, 16
+        q = jax.random.normal(KEY, (b, h, s, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
+        mask = jnp.ones((b, s), bool).at[:, -5:].set(False)
+
+        def loss(impl, q, k, v):
+            return jnp.sum(
+                jnp.sin(A.sdpa(q, k, v, key_mask=mask, implementation=impl)))
+
+        g_ref = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2))(
+            q, k, v)
+        g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(
+            q, k, v)
+        for a, b_ in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=5e-3, atol=5e-3)
 
     def test_supports(self):
         assert supports((1, 2, 256, 64), (1, 2, 256, 64))

@@ -82,11 +82,16 @@ def parse_args():
     p.add_argument("--diffusion_attn_head_dim", type=int, default=64)
     p.add_argument("--image_patch_size", type=int, default=2)
     p.add_argument("--remat", type=str2bool, default=False)
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="'dots' keeps matmul outputs through the remat "
+                        "(more HBM, higher MFU)")
     p.add_argument("--scan_layers", type=str2bool, default=False,
                    help="nn.scan-stack DiT layers (faster compiles)")
-    p.add_argument("--attn_impl", type=str, default="xla",
-                   choices=["xla", "pallas", "ring"],
-                   help="attention kernel; 'ring' = sequence-sharded over "
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas", "ring"],
+                   help="attention kernel; 'auto' = XLA under 512 tokens, "
+                        "fused Pallas above; 'ring' = sequence-sharded over "
                         "the mesh tensor axis (long-window scaling)")
     # data
     p.add_argument("--dataset", type=str, default="AMDConsecutiveVideo")
@@ -125,7 +130,8 @@ def build_model(args, dtype):
               object_enc_num_layers=args.object_enc_num_layers,
               camera_enc_num_layers=args.camera_enc_num_layers,
               image_patch_size=args.image_patch_size,
-              remat=args.remat, scan_layers=args.scan_layers,
+              remat=args.remat, remat_policy=args.remat_policy,
+              scan_layers=args.scan_layers,
               attn_impl=args.attn_impl)
     cls = {"AMD_N": amd.AMDModelNew, "AMD_S": amd.AMDModel,
            "AMD_L": amd.AMDModel}.get(args.model_type)
