@@ -26,17 +26,33 @@ class TrainState:
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # exponential moving average of params (capability upgrade over the
+    # reference, which has no EMA); None when ema_decay == 0
+    ema_params: Any = None
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, ema_decay: float = 0.0):
+        ema = jax.tree.map(jnp.copy, params) if ema_decay > 0 else None
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=tx.init(params), tx=tx,
+                   ema_params=ema, ema_decay=ema_decay)
 
     def apply_gradients(self, grads):
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
         params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) *
+                               (1.0 - d), ema, params)
         return self.replace(step=self.step + 1, params=params,
-                            opt_state=opt_state)
+                            opt_state=opt_state, ema_params=ema)
+
+    @property
+    def eval_params(self):
+        """EMA params when tracked, else the live params."""
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def make_optimizer(learning_rate: float = 1e-4,
@@ -120,7 +136,9 @@ def shard_train_step(train_step, mesh, state: TrainState,
     state_shardings = TrainState(
         step=replicate(mesh), params=p_shard,
         opt_state=jax.tree.map(lambda _: replicate(mesh), state.opt_state),
-        tx=state.tx)
+        tx=state.tx,
+        ema_params=None if state.ema_params is None else p_shard,
+        ema_decay=state.ema_decay)
     # refine: match moment tensors to their parameter shardings
     state_shardings = _match_opt_shardings(state_shardings, state, p_shard,
                                            mesh)

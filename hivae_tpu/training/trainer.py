@@ -68,6 +68,10 @@ class TrainConfig:
     mu_dtype: Optional[str] = None
     # gradient accumulation (reference --gradient_accumulation_steps)
     accumulate_steps: int = 1
+    # EMA of the params, updated in-step on device; 0 disables. Validation
+    # samples with the EMA weights when tracked; checkpoints carry both
+    # trees (capability upgrade — the reference has no EMA)
+    ema_decay: float = 0.0
     # NaN handling (reference asserts after VAE encode and on the loss every
     # step, train_amd.py:435-436,461):
     #   'none' — only the log-time finite check (cheapest)
@@ -114,7 +118,8 @@ class AMDTrainer:
         # copy: the jitted step donates the state, which may alias the
         # caller's params when device_put is a no-op
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
-        self.state = TrainState.create(params, tx)
+        self.state = TrainState.create(params, tx,
+                                       ema_decay=config.ema_decay)
         self.ckpt = ckpt_lib.CheckpointManager(
             os.path.join(config.output_dir, "checkpoints"),
             max_to_keep=config.checkpoint_total_limit)
@@ -360,7 +365,7 @@ class AMDTrainer:
                 self.vae, self.vae_params, jnp.asarray(batch["grey_videos"]))
             kwargs["ref_img_grey"] = vae_mod.vae_encode(
                 self.vae, self.vae_params, jnp.asarray(batch["ref_grey_img"]))
-        _, sample_z, _ = amd_mod.sample(self.model, self.state.params,
+        _, sample_z, _ = amd_mod.sample(self.model, self.state.eval_params,
                                         ks, video_z, ref_z,
                                         sample_step=sample_step, **kwargs)
         video = vae_mod.vae_decode(self.vae, self.vae_params, sample_z)

@@ -187,3 +187,39 @@ class TestNanGuard:
         assert len(dumps) == 1
         data = np.load(dumps[0])
         assert np.isnan(data["videos"]).all()
+
+
+class TestEMA:
+    def test_ema_tracks_and_checkpoints(self, stack, loader, tmp_path):
+        model, params, vae, vae_params = stack
+        config = TrainConfig(output_dir=str(tmp_path), max_steps=3,
+                             log_every=1, save_every=3, ema_decay=0.9,
+                             mesh_shape=(2, 2, 2))
+        trainer = AMDTrainer(model, params, vae, vae_params, config)
+        trainer.fit(_stream(loader))
+
+        st = jax.device_get(trainer.state)
+        assert st.ema_params is not None
+        p = jax.tree.leaves(st.params)
+        e = jax.tree.leaves(st.ema_params)
+        i0 = jax.tree.leaves(params)
+        # EMA lags the live params: closer to init than the live tree is,
+        # and not equal to either after 3 steps
+        moved, lag = 0, 0
+        for pi, ei, oi in zip(p, e, i0):
+            dp = float(np.abs(np.asarray(pi) - np.asarray(oi)).sum())
+            de = float(np.abs(np.asarray(ei) - np.asarray(oi)).sum())
+            if dp > 1e-7:
+                moved += 1
+                if de < dp:
+                    lag += 1
+        assert moved > 0 and lag == moved
+
+        # resume restores the EMA tree
+        config2 = TrainConfig(output_dir=str(tmp_path), max_steps=4,
+                              log_every=1, save_every=100, resume=True,
+                              ema_decay=0.9, mesh_shape=(2, 2, 2))
+        trainer2 = AMDTrainer(model, params, vae, vae_params, config2)
+        e2 = jax.tree.leaves(jax.device_get(trainer2.state).ema_params)
+        for a, b in zip(e, e2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a))

@@ -42,6 +42,10 @@ def parse_args():
                    choices=[None, "bf16"],
                    help="bf16 Adam moments halve optimizer HBM")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of params (e.g. 0.999); validation samples "
+                        "with the EMA weights, checkpoints carry both "
+                        "trees. 0 disables")
     p.add_argument("--nan_policy", type=str, default="none",
                    choices=["none", "halt", "skip"],
                    help="non-finite loss handling: halt = dump batch + "
@@ -244,7 +248,7 @@ def main():
         object_mask_ratio=args.object_mask_ratio,
         profile_steps=args.profile_steps, mu_dtype=args.mu_dtype,
         accumulate_steps=args.gradient_accumulation_steps,
-        nan_policy=args.nan_policy)
+        nan_policy=args.nan_policy, ema_decay=args.ema_decay)
 
     tb = SummaryWriter(os.path.join(out_dir, "tracker")) \
         if jax.process_index() == 0 else None

@@ -19,6 +19,8 @@ def parse_args():
     p.add_argument("--max_train_steps", type=int, default=100_000)
     p.add_argument("--train_batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=1.5e-4)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of params on device; 0 disables")
     p.add_argument("--lr_warmup_steps", type=int, default=1000)
     p.add_argument("--save_checkpoint_interval_step", type=int, default=2000)
     p.add_argument("--video_dir", type=str, required=True)
@@ -77,7 +79,8 @@ def main():
     mesh = create_mesh()
     tx = make_optimizer(args.learning_rate, args.lr_warmup_steps,
                         args.max_train_steps, schedule="cosine")
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx,
+                              ema_decay=args.ema_decay)
 
     def train_step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

@@ -15,6 +15,8 @@ def parse_args():
     p.add_argument("--max_train_steps", type=int, default=100_000)
     p.add_argument("--train_batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of params on device; 0 disables")
     p.add_argument("--lr_warmup_steps", type=int, default=0)
     p.add_argument("--save_checkpoint_interval_step", type=int, default=2000)
     p.add_argument("--t2m_config", type=str, default=None,
@@ -101,7 +103,8 @@ def main():
     mesh = create_mesh()
     tx = make_optimizer(args.learning_rate, args.lr_warmup_steps,
                         args.max_train_steps)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx,
+                              ema_decay=args.ema_decay)
 
     def train_step(state, batch, rng):
         import optax
