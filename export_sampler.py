@@ -1,0 +1,120 @@
+"""Export the fused reconstruction sampler as a serialized StableHLO artifact.
+
+TPU-native deployment path (no reference equivalent — the reference serves by
+importing torch code): ``jax.export`` lowers the ONE-program clip sampler
+(`pipelines._recon_clip`: VAE encode -> motion encode -> Euler scan -> VAE
+decode -> uint8) to a versioned, self-contained StableHLO module that a
+serving binary (or another process/framework) can load and run without this
+package, Flax, or Python model code. Weights stay call-time arguments so one
+artifact serves any checkpoint of the same config.
+
+    python export_sampler.py --amd_config config.json --out sampler.jaxexp \
+        [--amd_ckpt dir-or-safetensors] [--frames 16] [--size 256]
+        [--sample_step 10] [--platform tpu cpu] [--check]
+
+``--check`` deserializes the artifact and runs it on zeros via jax.export's
+calling convention, printing the output shape/dtype.
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--amd_config", type=str, required=True)
+    p.add_argument("--amd_ckpt", type=str, default=None,
+                   help="Orbax checkpoint dir or torch .safetensors; "
+                        "random init if omitted (weights are call-time "
+                        "args — the artifact itself is weightless)")
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--sample_step", type=int, default=10)
+    p.add_argument("--platform", type=str, nargs="+", default=["tpu"],
+                   help="lowering platforms, e.g. --platform tpu cpu")
+    p.add_argument("--check", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from hivae_tpu.models import amd as amd_mod
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.pipelines.pipeline import _recon_clip
+    from hivae_tpu.utils.misc import init_on_cpu
+
+    with open(args.amd_config) as f:
+        cfg = amd_mod.AMDConfig.from_dict(json.load(f))
+    cfg = cfg.replace(video_frames=args.frames)
+    model = amd_mod.AMDModelNew(cfg=cfg, dtype=jnp.bfloat16)
+    vae = vae_mod.AutoencoderKL(dtype=jnp.bfloat16)
+
+    lat = cfg.image_height
+    use_grey = cfg.use_grey
+
+    def _init():
+        key = jax.random.PRNGKey(0)
+        v = jnp.zeros((1, args.frames, 4, lat, lat))
+        amd_params = model.init({"params": key, "noise": key}, v, v,
+                                v if use_grey else None,
+                                v if use_grey else None)
+        vae_params = vae.init(key, jnp.zeros((1, 3, args.size, args.size)))
+        return amd_params, vae_params
+
+    amd_params, vae_params = init_on_cpu(_init)
+    if args.amd_ckpt:
+        from hivae_tpu.training import checkpoint as ckpt_lib
+        if args.amd_ckpt.endswith(".safetensors"):
+            amd_params, report = ckpt_lib.load_pretrain_partial(
+                amd_params, args.amd_ckpt)
+            print(f"converted torch ckpt; missing={len(report['missing'])}")
+        else:
+            import orbax.checkpoint as ocp
+            path = (ckpt_lib.find_latest_checkpoint(args.amd_ckpt)
+                    or args.amd_ckpt)
+            restored = ocp.StandardCheckpointer().restore(path)
+            amd_params = restored.get("params", restored)
+            if "params" not in amd_params:
+                amd_params = {"params": amd_params}
+
+    def serve(vae_params, amd_params, pixels, grey, key):
+        return _recon_clip(vae, model, vae_params, amd_params, pixels,
+                           grey, key, sample_step=args.sample_step,
+                           use_grey=use_grey)
+
+    f1 = args.frames + 1
+    pix = jax.ShapeDtypeStruct((f1, 3, args.size, args.size), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    specs = (jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                          vae_params),
+             jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                          amd_params),
+             pix, pix, key)
+
+    exp = jexport.export(jax.jit(serve),
+                         platforms=tuple(args.platform))(*specs)
+    blob = exp.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"exported {args.out}: {len(blob)/1e6:.2f} MB, "
+          f"platforms={exp.platforms}, "
+          f"out={exp.out_avals[0].shape} {exp.out_avals[0].dtype}")
+
+    if args.check:
+        rt = jexport.deserialize(blob)
+        zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), specs)
+        out = rt.call(*zeros)
+        print(f"check OK: output {out.shape} {out.dtype}, "
+              f"finite={bool(np.isfinite(np.asarray(out, np.float32)).all())}")
+
+
+if __name__ == "__main__":
+    main()
