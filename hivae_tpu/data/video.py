@@ -87,7 +87,8 @@ def pixel_transform(frames: np.ndarray, size: int = 256) -> np.ndarray:
     """uint8 (F,H,W,C) -> float32 (F,C,size,size) in [-1, 1]:
     Resize(size, bilinear+antialias) -> CenterCrop(size) -> Normalize(.5,.5).
     """
-    x = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
+    x = torch.from_numpy(frames).permute(0, 3, 1, 2).float()
+    x /= 255.0  # in-place: one 13 MB/clip allocation instead of three
     f, c, h, w = x.shape
     # torchvision Resize semantics: scale shorter side to `size`
     if h < w:
@@ -104,7 +105,9 @@ def pixel_transform(frames: np.ndarray, size: int = 256) -> np.ndarray:
     if x.shape[2] < size or x.shape[3] < size:
         ph, pw = size - x.shape[2], size - x.shape[3]
         x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
-    x = (x - 0.5) / 0.5
+    x = x.contiguous()
+    x -= 0.5
+    x /= 0.5
     return x.numpy()
 
 
