@@ -93,3 +93,42 @@ class TestBuildIndexCLI:
         from hivae_tpu.data.datasets import list_videos
         entries = list_videos(str(out))
         assert len(entries) == 3
+
+
+class TestDiffMotionFilterCLI:
+    def test_two_sample_mode(self, video_dir, tmp_path, monkeypatch):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        import diff_motion_filter
+
+        vids = sorted(os.listdir(video_dir))
+        argv = ["diff_motion_filter.py",
+                "--video_path", os.path.join(video_dir, vids[0]),
+                "--video_path_2", os.path.join(video_dir, vids[1]),
+                "--s_window_sizes", "16",
+                "--direction_thresholds", "0.5",
+                "--output_dir", str(tmp_path)]
+        monkeypatch.setattr(sys, "argv", argv)
+        diff_motion_filter.main()
+        outs = os.listdir(tmp_path)
+        assert any("camera_two_sample" in o for o in outs)
+        assert any(o.endswith("_camera.png") for o in outs)
+
+
+class TestGetClipEmbCLI:
+    def test_fallback_encoder_writes_npy(self, tmp_path, monkeypatch):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        import get_clip_emb
+
+        txt = tmp_path / "captions.txt"
+        txt.write_text("a red ball\na moving square\n")
+        out = tmp_path / "embs"
+        argv = ["get_clip_emb.py", "--captions", str(txt),
+                "--output_dir", str(out)]
+        monkeypatch.setattr(sys, "argv", argv)
+        get_clip_emb.main()
+        files = sorted(os.listdir(out))
+        assert len(files) == 2
+        e = np.load(out / files[0])
+        assert e.ndim == 1 and np.isfinite(e).all()
