@@ -9,7 +9,6 @@ semantics without importing reference code.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 import torch
 
 from hivae_tpu.ops import rectified_flow as rf

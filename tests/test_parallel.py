@@ -1,12 +1,11 @@
 """Sharding tests on the fake 8-device CPU mesh."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from hivae_tpu.parallel import (batch_sharding, create_mesh,
-                                infer_param_sharding, param_shardings)
+                                infer_param_sharding)
 
 
 class TestMesh:
