@@ -72,6 +72,10 @@ class TrainConfig:
     # samples with the EMA weights when tracked; checkpoints carry both
     # trees (capability upgrade — the reference has no EMA)
     ema_decay: float = 0.0
+    # dtype for host->device batch transfer: 'fp32' (exact) or 'bf16'
+    # (halves upload bytes; numerically identical when the model compute
+    # dtype is bf16, since the step casts pixels to bf16 anyway)
+    transfer_dtype: str = "fp32"
     # NaN handling (reference asserts after VAE encode and on the loss every
     # step, train_amd.py:435-436,461):
     #   'none' — only the log-time finite check (cheapest)
@@ -268,31 +272,53 @@ class AMDTrainer:
         t0 = time.perf_counter()
 
         dp = self.mesh.shape.get("data", 1) * self.mesh.shape.get("fsdp", 1)
-        with self._mesh_ctx():
-            for batch in batches:
-                if self.global_step >= limit:
-                    break
-                bsz = next(v.shape[0] for v in batch.values()
-                           if not isinstance(v, list))
-                if bsz % dp != 0:
-                    raise ValueError(
-                        f"batch size {bsz} must be divisible by the "
-                        f"data-parallel extent {dp} (mesh {dict(self.mesh.shape)})")
-                if self.mesh.devices.size == 1:
-                    device_batch = {k: jnp.asarray(v)
-                                    for k, v in batch.items()
-                                    if not isinstance(v, list)}
-                else:
-                    device_batch = {
-                        k: jax.device_put(jnp.asarray(v), b_shard)
-                        for k, v in batch.items()
+
+        def cast(v):
+            v = np.asarray(v)
+            if cfg.transfer_dtype == "bf16" and v.dtype == np.float32:
+                v = v.astype(jnp.bfloat16.dtype)  # ml_dtypes.bfloat16
+            return v
+
+        def to_device(batch):
+            bsz = next(v.shape[0] for v in batch.values()
+                       if not isinstance(v, list))
+            if bsz % dp != 0:
+                raise ValueError(
+                    f"batch size {bsz} must be divisible by the "
+                    f"data-parallel extent {dp} (mesh {dict(self.mesh.shape)})")
+            if self.mesh.devices.size == 1:
+                return {k: jnp.asarray(cast(v)) for k, v in batch.items()
                         if not isinstance(v, list)}
+            return {k: jax.device_put(jnp.asarray(cast(v)), b_shard)
+                    for k, v in batch.items() if not isinstance(v, list)}
+
+        # one-batch device prefetch: batch N+1 uploads while step N runs,
+        # so the (possibly slow) host->device transfer never serializes
+        # with compute even when sync_every fetches the loss every step
+        it = iter(batches)
+        with self._mesh_ctx():
+            try:
+                batch = next(it)
+            except StopIteration:
+                batch = None
+            device_batch = to_device(batch) if batch is not None else None
+            while device_batch is not None and self.global_step < limit:
+                host_batch = batch
                 if (cfg.profile_steps and
                         self.global_step == cfg.profile_start):
                     self._start_profile()
                 self.state, metrics = self._step_fn(self.state, device_batch,
                                                     rng, self._frozen)
                 self.global_step += 1
+                # prefetch the next batch before any host sync below
+                if self.global_step < limit:
+                    try:
+                        batch = next(it)
+                        device_batch = to_device(batch)
+                    except StopIteration:
+                        batch, device_batch = None, None
+                else:
+                    batch, device_batch = None, None
                 if (cfg.profile_steps and self.global_step ==
                         cfg.profile_start + cfg.profile_steps):
                     self._stop_profile(metrics)
@@ -305,7 +331,7 @@ class AMDTrainer:
                             f"nan_batch_step{self.global_step}.npz")
                         os.makedirs(cfg.output_dir, exist_ok=True)
                         np.savez(dump, **{k: np.asarray(v)
-                                          for k, v in batch.items()
+                                          for k, v in host_batch.items()
                                           if not isinstance(v, list)})
                         raise FloatingPointError(
                             f"non-finite loss {loss_val} at step "

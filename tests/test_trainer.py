@@ -223,3 +223,14 @@ class TestEMA:
         e2 = jax.tree.leaves(jax.device_get(trainer2.state).ema_params)
         for a, b in zip(e, e2):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a))
+
+
+class TestTransferDtype:
+    def test_bf16_transfer_runs(self, stack, loader, tmp_path):
+        model, params, vae, vae_params = stack
+        config = TrainConfig(output_dir=str(tmp_path), max_steps=1,
+                             log_every=1, save_every=100,
+                             transfer_dtype="bf16", mesh_shape=(2, 2, 2))
+        trainer = AMDTrainer(model, params, vae, vae_params, config)
+        metrics = trainer.fit(_stream(loader))
+        assert np.isfinite(metrics["loss"])

@@ -42,6 +42,10 @@ def parse_args():
                    choices=[None, "bf16"],
                    help="bf16 Adam moments halve optimizer HBM")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--transfer_dtype", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="host->device batch dtype; bf16 halves upload "
+                        "bytes (identical numerics under --mp bf16)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="EMA of params (e.g. 0.999); validation samples "
                         "with the EMA weights, checkpoints carry both "
@@ -248,7 +252,8 @@ def main():
         object_mask_ratio=args.object_mask_ratio,
         profile_steps=args.profile_steps, mu_dtype=args.mu_dtype,
         accumulate_steps=args.gradient_accumulation_steps,
-        nan_policy=args.nan_policy, ema_decay=args.ema_decay)
+        nan_policy=args.nan_policy, ema_decay=args.ema_decay,
+        transfer_dtype=args.transfer_dtype)
 
     tb = SummaryWriter(os.path.join(out_dir, "tracker")) \
         if jax.process_index() == 0 else None
