@@ -6,8 +6,11 @@ clips at the reference's main config scale (16 frames, 32x32 latents —
 fetch per step (device->host round-trip included), which is what a real
 training loop pays.
 
-Measured on TPU v5e (bf16, remat, batch 2x16f, 695M-param spatial AMD_N):
-~610 ms/step ≈ 52 frames/s/chip ≈ 40% MFU.
+Measured on TPU v5e (bf16, 695M-param spatial AMD_N), stepped loop with a
+per-step scalar fetch: full remat batch 2 = 612 ms (52.3 f/s/chip); the
+best config is --remat_policy dots --batch 1 = 289 ms (55.3 f/s/chip), of
+which ~156 ms is device work (see RESULTS.md roofline account; the rest is
+relay fetch/dispatch a native host does not pay).
 """
 
 import argparse
