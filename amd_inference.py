@@ -23,6 +23,10 @@ def parse_args():
     p.add_argument("--sample_step", type=int, default=10)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--model_type", type=str, default="AMD_N")
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA weight tree from an Orbax checkpoint "
+                        "trained with --ema_decay (falls back to the live "
+                        "params if the checkpoint has none)")
     return p.parse_args()
 
 
@@ -61,7 +65,15 @@ def load_amd(args, dtype):
         path = ckpt_lib.find_latest_checkpoint(args.amd_ckpt) or args.amd_ckpt
         import orbax.checkpoint as ocp
         restored = ocp.StandardCheckpointer().restore(path)
-        params = restored.get("params", restored) if hasattr(
+        key = "params"
+        if getattr(args, "use_ema", False):
+            if isinstance(restored, dict) and restored.get(
+                    "ema_params") is not None:
+                key = "ema_params"
+                print("using EMA weights")
+            else:
+                print("no EMA tree in checkpoint; using live params")
+        params = restored.get(key, restored) if hasattr(
             restored, "get") else restored
         if "params" not in params:
             params = {"params": params}
