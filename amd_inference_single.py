@@ -24,6 +24,8 @@ def parse_args():
     p.add_argument("--sample_step", type=int, default=20)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--model_type", type=str, default="AMD_N")
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA tree from an Orbax checkpoint")
     return p.parse_args()
 
 
