@@ -88,3 +88,37 @@ class TestFusedAttention:
         assert supports((1, 2, 256, 64), (1, 2, 256, 64))
         assert not supports((1, 2, 4096, 64), (1, 2, 4096, 64))
         assert not supports((1, 2, 64, 63), (1, 2, 64, 63))
+
+
+class TestAutoDispatch:
+    def test_crossover_selection(self, monkeypatch):
+        calls = []
+        import hivae_tpu.ops.pallas.flash_attention as FA
+
+        real = FA.flash_attention
+
+        def spy(q, k, v, **kw):
+            calls.append(q.shape)
+            return real(q, k, v, **kw)
+
+        monkeypatch.setattr(FA, "flash_attention", spy)
+
+        short = jax.random.normal(KEY, (1, 2, 64, 32))
+        A.sdpa(short, short, short, implementation="auto")
+        assert calls == []  # below the crossover -> XLA
+
+        long_ = jax.random.normal(KEY, (1, 2, 768, 32))
+        A.sdpa(long_, long_, long_, implementation="auto")
+        assert calls and calls[0][2] == 768  # above -> Pallas
+
+    def test_auto_falls_back_when_unsupported(self, monkeypatch):
+        import hivae_tpu.ops.pallas.flash_attention as FA
+
+        def boom(*a, **kw):
+            raise AssertionError("pallas should not be called")
+
+        monkeypatch.setattr(FA, "flash_attention", boom)
+        # d=512 at 1024 tokens overflows the hb=1 VMEM budget -> XLA path
+        x = jax.random.normal(KEY, (1, 1, 1024, 512))
+        out = A.sdpa(x, x, x, implementation="auto")
+        assert out.shape == x.shape
