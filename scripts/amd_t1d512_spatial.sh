@@ -19,7 +19,7 @@ python train_amd.py \
   --train_batch_size 32 \
   --learning_rate 1e-4 \
   --mp bf16 \
-  --remat true --mu_dtype bf16 \
+  --remat true --mu_dtype bf16 --scan_layers true \
   --max_train_steps 100000 \
   --save_checkpoint_interval_step 2000 \
   --video_dir "$1" \
