@@ -19,6 +19,7 @@ import re
 import shutil
 from typing import Any, Dict, List, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"checkpoint-(\d+)")
@@ -69,12 +70,19 @@ class CheckpointManager:
         # finish any in-flight async save first (Orbax forbids overlap)
         self._ckptr.wait_until_finished()
         path = os.path.join(self.directory, f"checkpoint-{step}")
-        if os.path.exists(path):
+        multihost = jax.process_count() > 1
+        if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
+        if multihost:
+            # all processes must reach save() together, after the primary's
+            # cleanup; Orbax then writes each process's addressable shards
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_save_" + str(step))
         self._ckptr.save(path, state)
         if blocking:
             self._ckptr.wait_until_finished()
-        self._rotate()
+        if jax.process_index() == 0:
+            self._rotate()
         return path
 
     def wait(self) -> None:

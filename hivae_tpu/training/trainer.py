@@ -362,8 +362,15 @@ class AMDTrainer:
         background; the next save or fit-exit waits). Explicit calls —
         final save before process exit — default to blocking, otherwise
         the interpreter can shut down with the write still in flight,
-        leaving only an orbax tmp dir."""
-        if jax.process_index() == 0:
+        leaving only an orbax tmp dir.
+
+        Multihost: every process participates — Orbax writes each
+        process's addressable shards directly (no host gather of
+        non-addressable data, which would fail on cross-host-sharded
+        state)."""
+        if jax.process_count() > 1:
+            self.ckpt.save(self.global_step, self.state, blocking=blocking)
+        elif jax.process_index() == 0:
             self.ckpt.save(self.global_step, jax.device_get(self.state),
                            blocking=blocking)
 

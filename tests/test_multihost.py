@@ -13,6 +13,7 @@ pytestmark = pytest.mark.slow
 
 WORKER = r"""
 import os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,6 +53,25 @@ def step(x):
 total = float(step(batch))
 expected = float(local_rows.sum() * 2.0)
 assert abs(total - expected) < 1e-3, (total, expected)
+
+# cross-host-sharded checkpoint round trip: every process calls save(),
+# Orbax writes each process's addressable shards (no host gather)
+from hivae_tpu.training.checkpoint import CheckpointManager
+
+ckpt = CheckpointManager(os.environ["CKPT_DIR"], max_to_keep=2)
+# leaves must be GLOBAL arrays in multihost (like jitted-step outputs);
+# a host-local scalar is not serializable
+rep = NamedSharding(mesh, P())
+step_arr = jax.jit(lambda: jnp.ones((), jnp.int32), out_shardings=rep)()
+state = {"w": batch, "step": step_arr}
+ckpt.save(7, state, blocking=True)
+restored = ckpt.restore(state)
+np.testing.assert_allclose(
+    np.asarray(jax.device_get(restored["w"].addressable_shards[0].data)),
+    np.asarray(jax.device_get(state["w"].addressable_shards[0].data)))
+assert int(restored["step"]) == 1
+assert ckpt.latest_step() == 7
+
 print(f"proc {jax.process_index()} OK total={total}", flush=True)
 """
 
@@ -69,7 +89,10 @@ class TestMultihost:
         procs = []
         for pid in range(2):
             env = dict(env_base, COORD=f"127.0.0.1:{port}",
-                       PID_IDX=str(pid))
+                       PID_IDX=str(pid),
+                       CKPT_DIR=str(tmp_path / "ckpt"),
+                       REPO_ROOT=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
             procs.append(subprocess.Popen(
                 [sys.executable, str(script)], env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
