@@ -23,6 +23,10 @@ def parse_args():
     p.add_argument("--sample_step", type=int, default=10)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--model_type", type=str, default="AMD_N")
+    p.add_argument("--solver", type=str, default="euler",
+                   choices=["euler", "heun"],
+                   help="ODE integrator; heun = 2nd order (2 DiT calls/"
+                        "step, ~half the steps at matched accuracy)")
     p.add_argument("--use_ema", action="store_true",
                    help="load the EMA weight tree from an Orbax checkpoint "
                         "trained with --ema_decay (falls back to the live "
@@ -118,7 +122,8 @@ def main():
         out = os.path.join(args.output_dir, f"{name}_recon.mp4")
         try:
             pipe.sample(vp, out, video_sample_step=args.sample_step,
-                        fps=args.fps, key=jax.random.PRNGKey(i))
+                        fps=args.fps, key=jax.random.PRNGKey(i),
+                        solver=args.solver)
             print(f"[{i+1}/{len(videos)}] {vp} -> {out}")
         except Exception as e:  # per-video fault tolerance (reference :135-152)
             print(f"[{i+1}/{len(videos)}] FAILED {vp}: {e}")

@@ -233,3 +233,18 @@ class TestFusedEquivalence:
         # uint8 quantization: allow off-by-one from fusion reassociation
         assert np.mean(np.abs(fused.astype(int) - staged.astype(int)) <= 1) \
             > 0.999
+
+
+class TestHeunPipeline:
+    def test_heun_solver_runs(self, tiny_stack, video_file):
+        """The 2nd-order solver path produces a valid clip through the
+        fused reconstruction program."""
+        from hivae_tpu.pipelines import AMDReconstructionPipeline
+
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        out = pipe.sample(video_file, video_sample_step=2, solver="heun")
+        assert out.shape[0] == W + 1 and out.dtype == np.uint8
+        assert np.isfinite(out.astype(np.float32)).all()
