@@ -651,8 +651,9 @@ def sample_grid(model: A2MModelMlp, params, key, ref_img, audio,
 
 def sample(model, params, key, ref_motion, frames: int,
            sample_step: int = 10, audio=None, ref_audio=None, pose=None,
-           ref_pose=None) -> jax.Array:
-    """Euler-sample motion tokens (reference ``model_A2M.py:980-1034``)."""
+           ref_pose=None, solver: str = "euler") -> jax.Array:
+    """Sample motion tokens (reference ``model_A2M.py:980-1034``);
+    ``solver='heun'`` uses the 2nd-order integrator."""
     cfg: A2MConfig = model.cfg
     n, l, d = ref_motion.shape
     cond = model.apply(params, audio=audio, ref_audio=ref_audio, pose=pose,
@@ -664,7 +665,8 @@ def sample(model, params, key, ref_motion, frames: int,
         return model.apply(params, zt, ref_motion, tstep, method="velocity",
                            **cond)
 
-    return rf.euler_sample(vel_fn, z0, step_seq)
+    integrate = rf.heun_sample if solver == "heun" else rf.euler_sample
+    return integrate(vel_fn, z0, step_seq)
 
 
 # Jitted entry point (module static, params traced; frame/step counts shape

@@ -166,17 +166,23 @@ class Label2MotionDiffusionDecoder(nn.Module):
 
 
 def sample(model: Label2MotionDiffusionDecoder, params, key, label,
-           ref_img, camera_target_motion, sample_steps: int = 10):
-    """Euler-sample object motion tokens conditioned on label + camera."""
+           ref_img, camera_target_motion, sample_steps: int = 10,
+           solver: str = "euler"):
+    """Sample object motion tokens conditioned on label + camera. The whole
+    walk is one ``lax.scan`` program (the former per-step Python loop paid
+    one dispatch per step); ``solver='heun'`` uses the 2nd-order
+    integrator."""
     c = model.cfg
     n, t = ref_img.shape[:2]
     shape = (n * t, c.object_token_num, c.object_channel)
-    z = jax.random.normal(key, shape)
-    step_seq = rf.sample_step_sequence(sample_steps, c.num_steps)
-    dt = 1.0 / sample_steps
-    for s in step_seq:
-        ts = jnp.full((n,), float(s))
+    z0 = jax.random.normal(key, shape)
+    step_seq = rf.sample_step_sequence(sample_steps, c.num_steps,
+                                       c.num_steps)
+
+    def vel_fn(z, tstep):
         out = model.apply(params, camera_target_motion, z, label, ref_img,
-                          ts, object_noisy=z)
-        z = z + out["vel_pred_object"] * dt
-    return z
+                          tstep[:n], object_noisy=z)
+        return out["vel_pred_object"]
+
+    integrate = rf.heun_sample if solver == "heun" else rf.euler_sample
+    return integrate(vel_fn, z0, step_seq)
