@@ -763,7 +763,7 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
 def decode(model: nn.Module, params, key: jax.Array, ref_img,
            motions: Dict[str, jax.Array], frames: int,
            sample_step: int = 50, start_step: Optional[int] = None,
-           video=None):
+           video=None, solver: str = "euler"):
     """Decode video latents from a reference frame + motion tokens
     (reference ``AMDModel_New.decode:2464-2536``). ref_img: (N,T,C,H,W).
 
@@ -778,12 +778,13 @@ def decode(model: nn.Module, params, key: jax.Array, ref_img,
     z1 = None if video is None else video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(key, zi.shape, zi.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=z1)
+                       z1=z1, solver=solver)
     return zt.reshape((n, t) + zt.shape[1:])
 
 
 def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
-                              motion, sample_step: int = 10):
+                              motion, sample_step: int = 10,
+                              solver: str = "euler"):
     """Image + motion tokens -> video latents (reference
     ``AMDModel.sample_with_refimg_motion:760-839``): source motion extracted
     from the single reference frame, provided tokens as target.
@@ -813,7 +814,7 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
         (n * t,) + ref_img.shape[1:])
     z0 = jax.random.normal(key, zi.shape, zi.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step,
-                       cfg.scheduler_num_step)
+                       cfg.scheduler_num_step, solver=solver)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt)
 
@@ -1000,7 +1001,7 @@ sample_jit = jax.jit(sample, static_argnums=(0,), static_argnames=(
     "solver"))
 sample_with_refimg_motion_jit = jax.jit(
     sample_with_refimg_motion, static_argnums=(0,),
-    static_argnames=("sample_step",))
+    static_argnames=("sample_step", "solver"))
 sample_diff_motion_jit = jax.jit(sample_diff_motion, static_argnums=(0,),
                                  static_argnames=("sample_step", "start_step",
                                                   "mask_ratio"))
