@@ -822,7 +822,8 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
 def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
                  video_grey_1=None, video_grey_2=None, ref_img_grey=None,
                  sample_step: int = 50, start_step: Optional[int] = None,
-                 camera_mask_ratio=None, object_mask_ratio=None):
+                 camera_mask_ratio=None, object_mask_ratio=None,
+                 solver: str = "euler"):
     """Cross-video motion transfer (reference
     ``AMDModel_New.sample_cross:2198-2375``): camera motion from video_1,
     object motion + appearance from video_2.
@@ -854,7 +855,7 @@ def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
     zj = video_2.reshape((n * t,) + video_2.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=zj)
+                       z1=zj, solver=solver)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
 
@@ -863,7 +864,7 @@ def sample_diff_motion(model, params, key: jax.Array, video, ref_img,
                        video_grey=None, ref_img_grey=None,
                        camera_video_grey=None, sample_step: int = 50,
                        start_step: Optional[int] = None,
-                       mask_ratio=None):
+                       mask_ratio=None, solver: str = "euler"):
     """Reconstruct ``video`` but drive the camera/LF stream with motion from
     a different clip (reference ``AMDModel.sample_diff_motion:598-757``).
 
@@ -884,7 +885,7 @@ def sample_diff_motion(model, params, key: jax.Array, video, ref_img,
     zj = video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=zj)
+                       z1=zj, solver=solver)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
 
@@ -1004,6 +1005,7 @@ sample_with_refimg_motion_jit = jax.jit(
     static_argnames=("sample_step", "solver"))
 sample_diff_motion_jit = jax.jit(sample_diff_motion, static_argnums=(0,),
                                  static_argnames=("sample_step", "start_step",
-                                                  "mask_ratio"))
+                                                  "mask_ratio", "solver"))
 sample_cross_jit = jax.jit(sample_cross, static_argnums=(0,), static_argnames=(
-    "sample_step", "start_step", "camera_mask_ratio", "object_mask_ratio"))
+    "sample_step", "start_step", "camera_mask_ratio", "object_mask_ratio",
+    "solver"))
