@@ -673,4 +673,4 @@ def sample(model, params, key, ref_motion, frames: int,
 # the trace). Used by the audio->video pipeline so each window reuses one
 # compiled program instead of dispatching eagerly op-by-op.
 sample_jit = jax.jit(sample, static_argnums=(0,),
-                     static_argnames=("frames", "sample_step"))
+                     static_argnames=("frames", "sample_step", "solver"))

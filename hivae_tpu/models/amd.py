@@ -234,9 +234,16 @@ class AMDModelNew(nn.Module):
 
     def encode(self, video, ref_img, video_grey=None, ref_img_grey=None,
                camera_mask_ratio=None, object_mask_ratio=None,
-               low_cut: float = 0.6, high_cut: float = 0.6):
+               low_cut: float = 0.6, high_cut: float = 0.6,
+               camera_mask=None):
         """-> (camera_target, object_source, object_target) as in the
-        reference ``encode`` (``model_AMD.py:2379-2462``)."""
+        reference ``encode`` (``model_AMD.py:2379-2462``).
+
+        ``camera_mask`` (N, 2T, C, H, W) optical-flow camera mask: when the
+        config has ``use_mask``, the low-frequency band is multiplied by it
+        before the camera encoder — the camera-only variant's trained-path
+        behavior (reference ``AMDModel_Camera.forward:1137`` and
+        ``.sample:1261``)."""
         c = self.cfg
         n, t = video.shape[:2]
         refimg_and_video = jnp.concatenate([ref_img, video], axis=1)
@@ -246,6 +253,8 @@ class AMDModelNew(nn.Module):
             grey = (jnp.concatenate([ref_img_grey, video_grey], axis=1)
                     if c.use_grey else refimg_and_video)
             lf, _ = _band_split(grey, low_cut, high_cut)
+            if c.use_mask and camera_mask is not None:
+                lf = lf * camera_mask
             lf_video = lf[:, t:]
         else:
             lf_video = (jnp.concatenate([ref_img_grey, video_grey], axis=1)[:, t:]
@@ -279,9 +288,16 @@ class AMDModelNew(nn.Module):
                     camera_site_mask)
         return camera_target, object_source, object_target
 
-    def extract_motion(self, video):
-        """Object-motion tokens for downstream (A2M) heads: (N,T,L,D)."""
-        motion = self.object_motion_encoder(video)
+    def extract_motion(self, video, mask_ratio=None):
+        """Object-motion tokens for downstream (A2M) heads: (N,T,L,D).
+
+        ``mask_ratio`` (static float) randomly drops encoder tokens — the
+        GT-motion ablation knob (reference ``AMDTestPipeLine.__init__``
+        ``pipeline.py:266-287``; its own forward is uncallable against the
+        current models — ``extract_motion`` takes no ratio at
+        ``model_AMD.py:841/2787`` — so this implements the declared
+        intent)."""
+        motion = self.object_motion_encoder(video, mask_ratio)
         if (self.cfg.need_motion_transformer and
                 self.cfg.extract_motion_with_motion_transformer):
             motion = self.motion_transformer(motion)
@@ -320,14 +336,22 @@ class AMDModelNew(nn.Module):
 
     def __call__(self, video, ref_img, video_grey=None, ref_img_grey=None,
                  time_step=None, camera_mask_ratio=None,
-                 object_mask_ratio=None, return_meta_info=False):
-        """Training step core (reference ``AMDModel_New.forward:1844-2017``).
+                 object_mask_ratio=None, return_meta_info=False,
+                 camera_mask=None):
+        """Training step core (reference ``AMDModel_New.forward:1844-2017``;
+        with ``use_mask`` + ``camera_mask``, the camera-variant forward
+        ``AMDModel_Camera.forward:1086-1223``).
 
         Needs rngs: 'noise' (timesteps + flow noise), 'mask' if masking.
         Returns (pre, vel, loss_dict).
         """
         c = self.cfg
         n, t = video.shape[:2]
+        if c.use_mask and camera_mask is None:
+            raise ValueError(
+                "cfg.use_mask=True: the training forward requires the "
+                "dataset's optical-flow camera_mask (reference "
+                "model_AMD.py:1137 multiplies the LF band by it)")
         if c.need_motion_transformer and c.use_object and self.is_initializing():
             # the dual-stream New model's forward never runs the motion
             # transformer (it serves extract_motion / refimg-motion
@@ -345,7 +369,8 @@ class AMDModelNew(nn.Module):
             object_mask_ratio = (0.5 * u) * object_mask_ratio
         encoded = self.encode(
             video, ref_img, video_grey, ref_img_grey,
-            camera_mask_ratio, object_mask_ratio, low_cut=0.6, high_cut=0.5)
+            camera_mask_ratio, object_mask_ratio, low_cut=0.6, high_cut=0.5,
+            camera_mask=camera_mask)
         camera_site_mask = None
         if len(encoded) == 4:
             camera_target, object_source, object_target, camera_site_mask = \
@@ -482,8 +507,12 @@ class AMDModel(nn.Module):
             raise ValueError(c.diffusion_model_type)
 
     def encode(self, video, ref_img, video_grey=None, ref_img_grey=None,
-               mask_ratio=None):
-        """-> dict with camera/object source/target motions (+ kl_loss)."""
+               mask_ratio=None, camera_mask=None):
+        """-> dict with camera/object source/target motions (+ kl_loss).
+
+        ``camera_mask`` (N, 2T, C, H, W): with ``use_mask``, multiplies the
+        low-frequency band before the camera encoder (reference
+        ``AMDModel.forward:314``)."""
         c = self.cfg
         n, t = video.shape[:2]
         refimg_and_video = jnp.concatenate([ref_img, video], axis=1)
@@ -493,6 +522,8 @@ class AMDModel(nn.Module):
                    if c.use_grey else refimg_and_video)
             lf, _ = _band_split(src, c.filter_num, c.filter_num)
             _, hf = _band_split(src, c.high_filter_num, c.high_filter_num)
+            if c.use_mask and camera_mask is not None:
+                lf = lf * camera_mask
             if c.use_camera_down:
                 b = lf.reshape((n * 2 * t,) + lf.shape[2:])
                 b = self.camera_down(b)
@@ -586,8 +617,8 @@ class AMDModel(nn.Module):
         camera_motion = self.camera_motion_encoder(lf, mask_ratio)
         return self._split_project(object_motion, camera_motion, n, t)
 
-    def extract_motion(self, video):
-        motion = self.object_motion_encoder(video)
+    def extract_motion(self, video, mask_ratio=None):
+        motion = self.object_motion_encoder(video, mask_ratio)
         if (self.cfg.need_motion_transformer and
                 self.cfg.extract_motion_with_motion_transformer):
             motion = self.motion_transformer(motion)
@@ -607,11 +638,17 @@ class AMDModel(nn.Module):
             object_motion_target=object_target)
 
     def __call__(self, video, ref_img, video_grey=None, ref_img_grey=None,
-                 time_step=None, mask_ratio=None, return_meta_info=False):
+                 time_step=None, mask_ratio=None, return_meta_info=False,
+                 camera_mask=None):
         c = self.cfg
         n, t = video.shape[:2]
+        if c.use_mask and camera_mask is None:
+            raise ValueError(
+                "cfg.use_mask=True: the training forward requires the "
+                "dataset's optical-flow camera_mask (reference "
+                "model_AMD.py:314 multiplies the LF band by it)")
         motions = self.encode(video, ref_img, video_grey, ref_img_grey,
-                              mask_ratio)
+                              mask_ratio, camera_mask=camera_mask)
 
         zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
         zj = video.reshape((n * t,) + video.shape[2:])
@@ -721,10 +758,16 @@ class AMDModelRec(nn.Module):
 def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
            video_grey=None, ref_img_grey=None, sample_step: int = 50,
            start_step: Optional[int] = None, camera_mask_ratio=None,
-           object_mask_ratio=None,
+           object_mask_ratio=None, camera_mask=None,
            solver: str = "euler") -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Video reconstruction: extract motion from ``video`` then Euler-decode
     from noise (reference ``AMDModel_New.sample:2020-2195``).
+
+    ``camera_mask`` is consumed only by the camera-variant model
+    (``AMDModelNew`` with ``use_mask``) — reference
+    ``AMDModel_Camera.sample:1261``; the dual ``AMDModel.sample`` accepts it
+    but its LF multiply is commented out in the reference (``:469``), so it
+    is ignored there for parity.
 
     Returns (zi, sample, zj) each (N, T, C, H, W).
     """
@@ -739,6 +782,7 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
         camera_target, object_source, object_target = model.apply(
             params, video, ref_img, video_grey, ref_img_grey,
             camera_mask_ratio, object_mask_ratio,
+            camera_mask=camera_mask,
             method="encode", rngs={"mask": kenc})
         motions = dict(camera_target=camera_target,
                        object_source=object_source,
@@ -784,17 +828,19 @@ def decode(model: nn.Module, params, key: jax.Array, ref_img,
 
 def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
                               motion, sample_step: int = 10,
-                              solver: str = "euler"):
+                              solver: str = "euler", mask_ratio=None):
     """Image + motion tokens -> video latents (reference
     ``AMDModel.sample_with_refimg_motion:760-839``): source motion extracted
     from the single reference frame, provided tokens as target.
 
     ref_img: (N,C,H,W); motion: (N,F,L,D). Returns (zi, sample) as
-    (N,F,C,H,W).
+    (N,F,C,H,W). ``mask_ratio`` masks the source-motion extraction (the
+    GT-ablation knob, see ``extract_motion``).
     """
     cfg: AMDConfig = model.cfg
     n, t, l, d = motion.shape
-    src = model.apply(params, ref_img[:, None], method="extract_motion")
+    src = model.apply(params, ref_img[:, None], mask_ratio,
+                      method="extract_motion")
     source_motion = jnp.broadcast_to(src, (n, t, l, d)).reshape(n * t, l, d)
     # reference :783 (the one executable motion-transformer branch): the
     # provided target tokens run through the sequence transformer unless
@@ -991,18 +1037,20 @@ AMD_MODELS = {
 # -----------------------------------------------------------------------------
 
 
-def extract_motion(model: nn.Module, params, video: jax.Array):
+def extract_motion(model: nn.Module, params, video: jax.Array,
+                   mask_ratio=None):
     """Frozen-model motion extraction (reference ``extract_motion``)."""
-    return model.apply(params, video, method="extract_motion")
+    return model.apply(params, video, mask_ratio, method="extract_motion")
 
 
-extract_motion_jit = jax.jit(extract_motion, static_argnums=(0,))
+extract_motion_jit = jax.jit(extract_motion, static_argnums=(0,),
+                             static_argnames=("mask_ratio",))
 sample_jit = jax.jit(sample, static_argnums=(0,), static_argnames=(
     "sample_step", "start_step", "camera_mask_ratio", "object_mask_ratio",
     "solver"))
 sample_with_refimg_motion_jit = jax.jit(
     sample_with_refimg_motion, static_argnums=(0,),
-    static_argnames=("sample_step", "solver"))
+    static_argnames=("sample_step", "solver", "mask_ratio"))
 sample_diff_motion_jit = jax.jit(sample_diff_motion, static_argnums=(0,),
                                  static_argnames=("sample_step", "start_step",
                                                   "mask_ratio", "solver"))

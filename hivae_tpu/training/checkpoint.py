@@ -71,6 +71,13 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
         path = os.path.join(self.directory, f"checkpoint-{step}")
         multihost = jax.process_count() > 1
+        if multihost:
+            # barrier BEFORE the primary's rmtree: every process must have
+            # drained its own in-flight async writes first, or re-saving the
+            # same step (in-loop async save + final blocking save) lets
+            # process 0 delete the directory under other hosts' writers
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_drain_" + str(step))
         if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
         if multihost:

@@ -142,6 +142,7 @@ class AMDTrainer:
         model, vae, vae_params = self.model, self.vae, self.vae_params
         cfg = self.config
         use_grey = getattr(model.cfg, "use_grey", False)
+        use_mask = getattr(model.cfg, "use_mask", False)
 
         use_lpips = cfg.perceptual_weight > 0 and self.lpips is not None
         lpips = self.lpips
@@ -174,6 +175,11 @@ class AMDTrainer:
             if use_grey:
                 kwargs["video_grey"] = encode(kgv, batch["grey_videos"])
                 kwargs["ref_img_grey"] = encode(kgr, batch["ref_grey_img"])
+            if use_mask:
+                # optical-flow camera mask, already at latent resolution
+                # (N, 2T, C, h, w) — the reference feeds it straight to the
+                # model (train_amd.py:433,455), no VAE encode
+                kwargs["camera_mask"] = batch["camera_mask"]
             if isinstance(model, amd_mod.AMDModelNew):
                 kwargs["camera_mask_ratio"] = cfg.camera_mask_ratio
                 kwargs["object_mask_ratio"] = cfg.object_mask_ratio
@@ -398,6 +404,11 @@ class AMDTrainer:
                 self.vae, self.vae_params, jnp.asarray(batch["grey_videos"]))
             kwargs["ref_img_grey"] = vae_mod.vae_encode(
                 self.vae, self.vae_params, jnp.asarray(batch["ref_grey_img"]))
+        if (getattr(self.model.cfg, "use_mask", False) and
+                "camera_mask" in batch):
+            # reference validate threads the mask into sample too
+            # (train_amd.py:330,347)
+            kwargs["camera_mask"] = jnp.asarray(batch["camera_mask"])
         _, sample_z, _ = amd_mod.sample(self.model, self.state.eval_params,
                                         ks, video_z, ref_z,
                                         sample_step=sample_step, **kwargs)

@@ -78,6 +78,32 @@ class TestForwardGolden:
         np.testing.assert_allclose(np.asarray(obj_t), obj_t_t.numpy(),
                                    rtol=2e-4, atol=5e-5)
 
+    def test_camera_mask_encode_parity(self, stack):
+        """use_mask: the optical-flow camera_mask multiplies the LF band
+        before the camera encoder (reference AMDModel_Camera.forward:1137,
+        .sample:1261). Non-trivial mask; object stream must be unaffected."""
+        model, params, cfg, video, ref, grey, ref_grey = stack
+        masked = amd.AMDModelNew(cfg=cfg.replace(use_mask=True))
+        rng = np.random.RandomState(7)
+        mask = (rng.rand(2, 8, 1, 16, 16) > 0.5).astype(np.float32)
+        mask = np.broadcast_to(mask, (2, 8, 4, 16, 16)).copy()
+        cam, obj_s, obj_t = masked.apply(
+            params, jnp.asarray(video), jnp.asarray(ref), jnp.asarray(grey),
+            jnp.asarray(ref_grey), camera_mask=jnp.asarray(mask),
+            method="encode")
+        cam_t, obj_s_t, _ = TR.amd_new_encode(
+            params["params"], video, ref, grey, ref_grey, cfg, 0.6, 0.6,
+            camera_mask=mask)
+        np.testing.assert_allclose(np.asarray(cam), cam_t.numpy(),
+                                   rtol=2e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(obj_s), obj_s_t.numpy(),
+                                   rtol=2e-4, atol=5e-5)
+        # the mask must actually change the camera stream
+        cam_unmasked, _, _ = model.apply(
+            params, jnp.asarray(video), jnp.asarray(ref), jnp.asarray(grey),
+            jnp.asarray(ref_grey), method="encode")
+        assert not np.allclose(np.asarray(cam), np.asarray(cam_unmasked))
+
 
 class TestSampleGolden:
     def test_four_step_sample_parity(self, stack):

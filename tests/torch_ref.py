@@ -296,14 +296,19 @@ def dit_img_spatial_temp(p, image_hidden, timestep, camera_target,
 
 
 def amd_new_encode(p, video, ref_img, video_grey, ref_grey, cfg,
-                   low_cut, high_cut):
-    """Reference AMDModel_New.encode / forward's motion-encoding stage."""
+                   low_cut, high_cut, camera_mask=None):
+    """Reference AMDModel_New.encode / forward's motion-encoding stage.
+
+    ``camera_mask``: LF band multiply before the camera encoder
+    (reference AMDModel_Camera.forward:1137)."""
     n, tt = video.shape[:2]
     refimg_and_video = torch.cat([t(ref_img), t(video)], dim=1)
 
     grey = torch.cat([t(ref_grey), t(video_grey)], dim=1) if cfg.use_grey \
         else refimg_and_video
     lf, _ = band_split(grey.numpy(), low_cut, high_cut)
+    if camera_mask is not None:
+        lf = lf * t(camera_mask)
     lf_video = lf[:, tt:]
 
     camera_target = motion_encoder_temporal_cross(

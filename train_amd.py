@@ -80,6 +80,16 @@ def parse_args():
     p.add_argument("--motion_token_channel", type=int, default=512)
     p.add_argument("--camera_mask_ratio", type=float, default=None)
     p.add_argument("--object_mask_ratio", type=float, default=None)
+    p.add_argument("--use_mask", type=str2bool, default=False,
+                   help="optical-flow camera_mask: dataset computes it and "
+                        "the model multiplies the LF band by it before the "
+                        "camera encoder (reference train_amd.py:67,433 -> "
+                        "model_AMD.py:314/1137). The reference defaults this "
+                        "to True but only the AMDModel/Camera variants "
+                        "consume it; off by default here")
+    p.add_argument("--mask_video_ratio", type=float, default=0.5,
+                   help="flow_mask camera-region budget (reference "
+                        "dataset.py:38)")
     # architecture depth/width overrides (tiny-config and ablation support)
     p.add_argument("--object_enc_num_layers", type=int, default=8)
     p.add_argument("--camera_enc_num_layers", type=int, default=8)
@@ -140,6 +150,7 @@ def build_model(args, dtype):
               image_patch_size=args.image_patch_size,
               remat=args.remat, remat_policy=args.remat_policy,
               scan_layers=args.scan_layers,
+              use_mask=args.use_mask,
               attn_impl=args.attn_impl)
     cls = {"AMD_N": amd.AMDModelNew, "AMD_S": amd.AMDModel,
            "AMD_L": amd.AMDModel}.get(args.model_type)
@@ -200,6 +211,9 @@ def main():
         init_kw = {}
         if getattr(model.cfg, "use_grey", False):
             init_kw = dict(video_grey=dummy, ref_img_grey=dummy)
+        if getattr(model.cfg, "use_mask", False):
+            init_kw["camera_mask"] = jnp.ones(
+                (1, 2 * args.video_frames, 4, lat, lat))
         return model.init({"params": key, "noise": key}, dummy, dummy,
                           **init_kw)
 
@@ -231,6 +245,8 @@ def main():
     dataset = ds_cls(args.video_dir, sample_n_frames=args.video_frames,
                      sample_size=args.sample_size, target_fps=args.sample_fps,
                      use_grey=getattr(model.cfg, "use_grey", False),
+                     use_mask=getattr(model.cfg, "use_mask", False),
+                     mask_video_ratio=args.mask_video_ratio,
                      seed=args.seed)
     loader = DataLoader(dataset, args.train_batch_size,
                         num_workers=args.dataloader_num_workers,
