@@ -28,11 +28,22 @@ Numerics: logits and softmax accumulate in fp32 regardless of compute dtype;
 the probs are cast back to the value dtype for the PV matmul — bit-matching
 ``ops.attention._sdpa_xla`` within rounding.
 
-Sequences past ``MAX_SEQ`` fall back to the XLA path via ``supports()``:
-at 2048 tokens even a single head's fp32 logits (16.7 MB) overflow the 16 MB
-VMEM, so the full-block schedule tops out at 1024 (measured: the kernel beats
-XLA 2.9x fwd / 2.0x grad there; XLA wins below ~512 — see
-``ops.attention.sdpa``'s 'auto' dispatch and benchmarks/RESULTS.md).
+Past ``MAX_SEQ`` the full-block schedule no longer fits (at 2048 tokens a
+single head's fp32 logits are 16.7 MB against 16 MB VMEM) and dispatch moves
+to the **streaming schedule**: a true flash attention — grid over KV blocks
+with running max / denominator / accumulator carried in VMEM scratch (online
+softmax), so VMEM holds only (BQ, BK) tiles regardless of sequence length,
+and the S×S logits never exist in HBM. Forward saves the per-row LSE; the
+custom-VJP backward is two streaming passes (dq over KV blocks; dk/dv over Q
+blocks) using the saved LSE and the precomputed delta = rowsum(do·o), the
+standard FlashAttention-2 recomputation split. This is what makes the
+>16-frame / long-window story real (SURVEY §5.7): the reference caps its
+windows at W=16 (model/pipeline.py:1295-1378); here 2048-4096-token joint
+sequences run at full MXU utilisation instead of spilling.
+
+Dispatch (see ``ops.attention.sdpa`` 'auto' and benchmarks/RESULTS.md):
+XLA below ~512 tokens; full-block (2.9x fwd / 2.0x grad vs XLA at 1024)
+up to 1024; streaming above.
 """
 
 from __future__ import annotations
@@ -50,22 +61,43 @@ SEQ_ALIGN = 16      # sublane tile for bf16; also a multiple of the fp32 tile
 NEG_INF = -1e30
 
 
-def supports(q_shape, k_shape) -> bool:
-    """True when even the hb=1 (single-head) schedule fits VMEM — the
-    backward pass is the binding case: 3 fp32 (Sq,Sk) buffers (p/dp/ds)
+def _full_block_fits(q_shape, k_shape) -> bool:
+    """True when even the hb=1 (single-head) full-block schedule fits VMEM —
+    the backward pass is the binding case: 3 fp32 (Sq,Sk) buffers (p/dp/ds)
     plus 6 operand blocks. ~2048 tokens or d=512 at 1024 tokens overflow
-    the 16 MB core and must take the XLA path."""
+    the 16 MB core and dispatch to the streaming schedule instead."""
     sq, d = q_shape[2], q_shape[3]
     sk = k_shape[2]
-    if d % MIN_ALIGN != 0:
-        return False
     sqp, skp = _round_up(sq, SEQ_ALIGN), _round_up(sk, SEQ_ALIGN)
     worst = 3 * sqp * skp * 4 + (2 * sqp * d + 4 * skp * d) * 4
     return worst <= 14_500_000
 
 
+def supports(q_shape, k_shape) -> bool:
+    """True when some Pallas schedule (full-block or streaming) handles the
+    shape; head_dim must be sublane-aligned. The streaming schedule has no
+    sequence ceiling, so this is now only an alignment gate."""
+    d = q_shape[3]
+    if d % MIN_ALIGN != 0 or k_shape[3] % MIN_ALIGN != 0:
+        return False
+    # streaming blocks are 128-lane tiles; tiny head dims would waste the
+    # MXU and tiny sequences belong to XLA anyway
+    return True
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    """Pallas must run interpreted on CPU. Checking jax.default_backend()
+    alone misses the ``init_on_cpu`` path — eager CPU execution via
+    ``jax.default_device(cpu)`` inside a TPU-backend process — which would
+    otherwise try (and fail) to compile the kernel for the CPU backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None and getattr(dev, "platform", None) == "cpu":
+        return True
+    return jax.default_backend() == "cpu"
 
 
 def _pick_hb(h: int, sq: int, sk: int, d: int, itemsize: int,
@@ -196,7 +228,7 @@ def _flash_fwd_impl(q, k, v, bias, scale):
             bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
             transcendentals=b * h * sqp * skp,
         ),
-        interpret=jax.default_backend() == "cpu",
+        interpret=_interpret(),
     )(qp, kp, vp, bp)
     return out[:, :, :sq]
 
@@ -230,7 +262,7 @@ def _flash_bwd(scale, res, g):
             * q.dtype.itemsize,
             transcendentals=b * h * sqp * skp,
         ),
-        interpret=jax.default_backend() == "cpu",
+        interpret=_interpret(),
     )(qp, kp, vp, bp, gp)
     # the bias only ever carries the -inf key mask; its cotangent is unused
     dbias = jnp.zeros_like(bias)
@@ -240,11 +272,313 @@ def _flash_bwd(scale, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# -----------------------------------------------------------------------------
+# Streaming schedule (S > MAX_SEQ): KV-blocked online softmax, FlashAttention-2
+# recomputation backward. VMEM holds only (BQ, BK) tiles; running max /
+# denominator / output accumulator live in VMEM scratch across the KV grid
+# dimension (innermost, sequential on TPU).
+# -----------------------------------------------------------------------------
+
+_BQ = 512       # query block rows (sublane-tiled)
+_BK = 512       # key block columns (lane-tiled)
+
+
+def _stream_pad(x, target):
+    s = x.shape[2]
+    return x if s == target else jnp.pad(
+        x, ((0, 0), (0, 0), (0, target - s), (0, 0)))
+
+
+def _axis_blocks(s16, cap):
+    """(padded_len, block) for one sequence axis: short axes are a single
+    16-aligned block; long axes pad to a 128 multiple and take the largest
+    of (cap, cap/2, 128) that divides it — minimising pad waste (e.g. 1104
+    tokens -> 1152/128, not 1536/512) while keeping lane-aligned blocks."""
+    if s16 <= cap:
+        return s16, s16
+    sp = _round_up(s16, 128)
+    for b in (cap, 3 * cap // 4, cap // 2, 128):
+        if sp % b == 0:
+            return sp, b
+    return _round_up(sp, cap), cap
+
+
+def _stream_geom(sq, sk):
+    sq16, sk16 = _round_up(sq, SEQ_ALIGN), _round_up(sk, SEQ_ALIGN)
+    sqp, bq = _axis_blocks(sq16, _BQ)
+    skp, bk = _axis_blocks(sk16, _BK)
+    return sqp, skp, bq, bk
+
+
+def _stream_bias(bias_ref, j, bk):
+    """The bias rides as a full (1, 1, Skp) row per batch (Mosaic requires
+    the last two block dims to be 8/128-tiled or whole — a (1, bk) block
+    over (B, Sk) is illegal); the KV window is sliced at the ref (Mosaic
+    lowers pl.ds ref indexing, not value-level dynamic_slice). Multi-block
+    axes use bk in {512, 256, 128}, so j*bk stays 128-lane aligned."""
+    if bias_ref.shape[2] == bk:
+        return bias_ref[0]               # (1, BK)
+    return bias_ref[0, :, pl.ds(pl.multiple_of(j * bk, bk), bk)]
+
+
+def _stream_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, *, scale, sk_real, bk):
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                     # (BQ, D)
+    k = k_ref[0, 0]                     # (BK, D)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (BQ, BK)
+    s = s + _stream_bias(bias_ref, j, bk)
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col >= sk_real, NEG_INF, s)
+
+    m_prev = m_scr[:, :1]               # (BQ, 1)
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)              # fp32 (BQ, BK)
+    corr = jnp.exp(m_prev - m_new)      # (BQ, 1)
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l)
+
+
+def _stream_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, acc_scr, *, scale, sk_real, bk):
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + _stream_bias(bias_ref, j, bk)
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col >= sk_real, NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0, 0])                       # (BQ, BK) fp32
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0])
+    acc_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0, 0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _stream_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                       *, scale, sk_real, bk):
+    i = pl.program_id(3)
+    ni = pl.num_programs(3)
+    j = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]                     # (BQ, D) — i-block
+    k = k_ref[0, 0]                     # (BK, D) — j-block
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (BQ, BK)
+    s = s + _stream_bias(bias_ref, j, bk)
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col >= sk_real, NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0, 0])
+    # dv_j += p^T @ do_i
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0])
+    # dk_j += ds^T @ q_i * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(i == ni - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _stream_prep(q, k, v, bias):
+    b = q.shape[0]
+    sq, sk = q.shape[2], k.shape[2]
+    sqp, skp, bq, bk = _stream_geom(sq, sk)
+    qp = _stream_pad(q, sqp)
+    kp = _stream_pad(k, skp)
+    vp = _stream_pad(v, skp)
+    # (B, 1, Skp): whole row per program — see _stream_bias
+    if bias is None:
+        bp = jnp.zeros((b, 1, skp), jnp.float32)
+    else:
+        bp = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 0), (0, skp - sk)))[:, None]
+    return qp, kp, vp, bp, sqp, skp, bq, bk
+
+
+def _stream_specs(bq, bk, d, skp):
+    """Block specs for grid (B, H, nQ, nK) with q-major indexing. The lse /
+    delta rows travel as (B, H, Sqp, 1) so the (bq, 1) block obeys the
+    Mosaic last-two-dims tiling rule."""
+    qs = pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, j, 0),
+                      memory_space=pltpu.VMEM)
+    bs = pl.BlockSpec((1, 1, skp), lambda b, h, i, j: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    rs = pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0),
+                      memory_space=pltpu.VMEM)  # per-q-row lse/delta
+    return qs, ks, bs, rs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_stream(q, k, v, bias, scale):
+    out, _ = _stream_fwd_impl(q, k, v, bias, scale)
+    return out
+
+
+def _stream_fwd_impl(q, k, v, bias, scale):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qp, kp, vp, bp, sqp, skp, bq, bk = _stream_prep(q, k, v, bias)
+    qs, ks, bs, rs = _stream_specs(bq, bk, d, skp)
+    out, lse = pl.pallas_call(
+        functools.partial(_stream_fwd_kernel, scale=scale, sk_real=sk,
+                          bk=bk),
+        grid=(b, h, sqp // bq, skp // bk),
+        in_specs=[qs, ks, ks, bs],
+        out_specs=(qs, rs),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sqp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running max
+            pltpu.VMEM((bq, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((bq, d), jnp.float32),     # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sqp * skp * d,
+            bytes_accessed=(qp.size + (kp.size + vp.size) * (sqp // bq))
+            * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skp,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, bp)
+    return out[:, :, :sq], lse
+
+
+def _flash_stream_fwd(q, k, v, bias, scale):
+    out, lse = _stream_fwd_impl(q, k, v, bias, scale)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_stream_bwd(scale, res, g):
+    q, k, v, bias, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qp, kp, vp, bp, sqp, skp, bq, bk = _stream_prep(q, k, v, bias)
+    gp = _stream_pad(g, sqp)
+    # delta_i = rowsum(do_i * o_i) — cheap bandwidth-bound reduction, XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sqp - sq)))[..., None]
+    qs, ks, bs, rs = _stream_specs(bq, bk, d, skp)
+
+    dq = pl.pallas_call(
+        functools.partial(_stream_dq_kernel, scale=scale, sk_real=sk, bk=bk),
+        grid=(b, h, sqp // bq, skp // bk),
+        in_specs=[qs, ks, ks, bs, qs, rs, rs],
+        out_specs=qs,
+        out_shape=jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=_interpret(),
+    )(qp, kp, vp, bp, gp, lse, delta)
+
+    # kv-major grid: (B, H, nK, nQ) — q blocks stream past each kv block
+    qs2 = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, j, i: (b_, h_, i, 0),
+                       memory_space=pltpu.VMEM)
+    ks2 = pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j, i: (b_, h_, j, 0),
+                       memory_space=pltpu.VMEM)
+    bs2 = pl.BlockSpec((1, 1, skp), lambda b_, h_, j, i: (b_, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rs2 = pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, j, i: (b_, h_, i, 0),
+                       memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_stream_dkv_kernel, scale=scale, sk_real=sk,
+                          bk=bk),
+        grid=(b, h, skp // bk, sqp // bq),
+        in_specs=[qs2, ks2, ks2, bs2, qs2, rs2, rs2],
+        out_specs=(ks2, ks2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, skp, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, skp, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp, bp, gp, lse, delta)
+
+    # key_bias is the non-differentiable key mask (see flash_attention)
+    dbias = jnp.zeros_like(bias)
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk], dbias
+
+
+_flash_stream.defvjp(_flash_stream_fwd, _flash_stream_bwd)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float,
                     bias: jax.Array | None = None) -> jax.Array:
     """Fused SDPA. q,k,v: (B, H, S, D); bias: optional (B, Sk) fp32 additive
-    key bias (0 attend / -1e30 drop) -> (B, H, Sq, D)."""
+    **key-mask** bias (0 attend / -1e30 drop) -> (B, H, Sq, D).
+
+    The bias is a non-differentiable mask by contract: both schedules return
+    a zero cotangent for it (a learned additive bias would silently get no
+    gradient — pass such a bias through the XLA path instead).
+
+    Dispatch: full-block fused kernel while the (Sq, Sk) logits fit VMEM
+    (<=1024 tokens), streaming online-softmax schedule beyond.
+    """
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
-    return _flash(q, k, v, bias, scale)
+    if _full_block_fits(q.shape, k.shape):
+        return _flash(q, k, v, bias, scale)
+    return _flash_stream(q, k, v, bias, scale)
