@@ -57,6 +57,10 @@ def main():
     model = amd_mod.AMDModelNew(cfg=cfg, dtype=jnp.bfloat16)
     vae = vae_mod.AutoencoderKL(dtype=jnp.bfloat16)
 
+    from hivae_tpu.ops.attention import install_attn_impl
+
+    install_attn_impl(cfg)  # ring needs its mesh installed outside training
+
     lat = cfg.image_height
     use_grey = cfg.use_grey
 
