@@ -156,13 +156,10 @@ class VideoAudioDataset(VideoClipDataset):
     and masked (reference ``:806-858``).
     """
 
-    def get_batch(self, idx: int) -> Dict[str, Any]:
-        meta = self.metadata[idx]
-        audio = np.load(meta["audio_emb_path"])  # (T, M, D)
-        total, fps = vio.video_metadata(meta["video_path"])
-        usable = min(total, audio.shape[0])
+    def _sample_indices(self, usable: int):
+        """-> (index, mask): frame 0 of ``index`` is the reference, the rest
+        the clip. Consecutive form: ref = frame preceding the clip."""
         n = self.sample_n_frames
-
         if usable >= n + 1:
             start = self.rng.randint(0, usable - n - 1) if usable > n + 1 else 0
             index = np.arange(start, start + n + 1)
@@ -171,6 +168,15 @@ class VideoAudioDataset(VideoClipDataset):
             index = np.arange(usable)
             mask = np.zeros((n,), np.float32)
             mask[:max(usable - 1, 0)] = 1.0
+        return index, mask
+
+    def get_batch(self, idx: int) -> Dict[str, Any]:
+        meta = self.metadata[idx]
+        audio = np.load(meta["audio_emb_path"])  # (T, M, D)
+        total, fps = vio.video_metadata(meta["video_path"])
+        usable = min(total, audio.shape[0])
+        n = self.sample_n_frames
+        index, mask = self._sample_indices(usable)
 
         frames = vio.read_video_frames(meta["video_path"], index)
         pixels = vio.pixel_transform(frames, self.sample_size)
@@ -197,6 +203,30 @@ class VideoAudioDataset(VideoClipDataset):
             sample["ref_pose"] = pose[0]
             sample["gt_pose"] = pose[1:]
         return sample
+
+
+class VideoAudioRandomRefDataset(VideoAudioDataset):
+    """Random-reference variant (reference ``A2MVideoAudioPoseRandomRef``,
+    ``dataset/dataset.py:1063-1259``): the reference video/pose/audio frame
+    is drawn uniformly from OUTSIDE the sampled clip — the clip's first
+    frame when no outside frame exists (``:1139-1148``) — which decorrelates
+    the reference appearance from the driven window during A2M training."""
+
+    def _sample_indices(self, usable: int):
+        n = self.sample_n_frames
+        if usable >= n:
+            start = self.rng.randint(0, usable - n) if usable > n else 0
+            clip = np.arange(start, start + n)
+            mask = np.ones((n,), np.float32)
+        else:
+            clip = np.arange(max(usable, 1))
+            mask = np.zeros((n,), np.float32)
+            mask[:usable] = 1.0
+        outside = np.concatenate([np.arange(0, clip[0]),
+                                  np.arange(clip[-1] + 1, usable)])
+        ref = (int(outside[self.rng.randint(0, len(outside) - 1)])
+               if len(outside) else int(clip[0]))
+        return np.concatenate([[ref], clip]), mask
 
 
 class LabelVideoDataset(VideoClipDataset):

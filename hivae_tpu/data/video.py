@@ -126,8 +126,20 @@ def save_videos_grid(path: str, videos: np.ndarray, fps: float = 8.0,
     write_video(path, grid, fps=fps)
 
 
-def write_video(path: str, frames: np.ndarray, fps: float = 8.0) -> None:
-    """(F,C,H,W) or (F,H,W,C) uint8 -> mp4 via OpenCV."""
+def write_video(path: str, frames: np.ndarray, fps: float = 8.0,
+                audio_path: str | None = None,
+                audio_start: float = 0.0) -> str:
+    """(F,C,H,W) or (F,H,W,C) uint8 -> mp4 via OpenCV.
+
+    With ``audio_path``, the matching slice of that wav is muxed into the
+    output (reference ``export_video_with_audio``,
+    ``model/pipeline.py:210-263``); see ``data/av_mux.py`` for the
+    container/backend choice. Returns the path actually written."""
+    if audio_path is not None:
+        from .av_mux import export_video_with_audio
+
+        return export_video_with_audio(path, frames, fps, audio_path,
+                                       audio_start)
     if frames.shape[1] in (1, 3) and frames.ndim == 4 and \
             frames.shape[1] < frames.shape[-1]:
         frames = frames.transpose(0, 2, 3, 1)
@@ -139,3 +151,4 @@ def write_video(path: str, frames: np.ndarray, fps: float = 8.0) -> None:
     for f in frames:
         writer.write(cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_RGB2BGR))
     writer.release()
+    return path

@@ -126,14 +126,18 @@ def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
     return motion_pre, video_pre
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("sample_step",))
+@partial(jax.jit, static_argnums=(0, 1),
+         static_argnames=("sample_step", "mask_ratio"))
 def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
-                      m2v_ref, key, sample_step):
-    """One GT-motion ablation window (extract -> decode) as one program."""
-    motion = amd_model.apply(amd_params, cur_gt, method="extract_motion")
+                      m2v_ref, key, sample_step, mask_ratio=None):
+    """One GT-motion ablation window (extract -> decode) as one program.
+    ``mask_ratio`` masks the motion-token extraction (reference
+    ``AMDTestPipeLine`` knob, ``pipeline.py:266,345``)."""
+    motion = amd_model.apply(amd_params, cur_gt, mask_ratio,
+                             method="extract_motion")
     return amd_mod.sample_with_refimg_motion(
         amd_model, amd_params, key, m2v_ref, motion,
-        sample_step=sample_step)[1]
+        sample_step=sample_step, mask_ratio=mask_ratio)[1]
 
 
 class AMDReconstructionPipeline:
@@ -251,8 +255,11 @@ class GTMotionAblationPipeline:
 
     def reconstruct(self, video_path: str, output_path: Optional[str] = None,
                     num_windows: int = 2, video_sample_step: int = 10,
-                    fps: int = 8, key: Optional[jax.Array] = None
-                    ) -> np.ndarray:
+                    fps: int = 8, key: Optional[jax.Array] = None,
+                    mask_ratio: Optional[float] = None) -> np.ndarray:
+        """``mask_ratio``: fraction of motion tokens dropped at extraction —
+        the reference's ablation knob (``AMDTestPipeLine``,
+        ``pipeline.py:266``)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         w = self.window
         total, video_fps = vio.video_metadata(video_path)
@@ -272,7 +279,8 @@ class GTMotionAblationPipeline:
             m2v_ref = ref_z[:, 0] if pre_video is None else pre_video[:, -1]
             video_pre = _gt_motion_window(
                 self.vae, self.amd_model, self.vae_params, self.amd_params,
-                cur_gt, m2v_ref, kv, sample_step=video_sample_step)
+                cur_gt, m2v_ref, kv, sample_step=video_sample_step,
+                mask_ratio=mask_ratio)
             pre_video = video_pre if pre_video is None else jnp.concatenate(
                 [pre_video, video_pre], axis=1)
 
@@ -309,7 +317,10 @@ class ImageAudio2VideoPipeline:
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:
-        """Left-pad the frame axis to R (reference ``transform_a2m_ref``)."""
+        """Left-pad the frame axis to R with zeros — exactly the reference's
+        ``transform_a2m_ref`` (all four copies zero-pad:
+        ``model/pipeline.py:195-206,388-396,1146-1154,1460-1468``; the
+        ref_img pad at ``:1279`` is zeros too)."""
         r = self.ref_frames
         if x.shape[1] >= r:
             return x[:, -r:]
@@ -386,12 +397,15 @@ class ImageAudio2VideoPipeline:
                output_path: Optional[str] = None,
                motion_sample_step: int = 8, video_sample_step: int = 20,
                fps: int = 25, key: Optional[jax.Array] = None,
-               max_frames: Optional[int] = None) -> np.ndarray:
+               max_frames: Optional[int] = None,
+               audio_path: Optional[str] = None) -> np.ndarray:
         """File-level driver (reference ``:1388-1438``): image path +
         precomputed whisper embeddings (T,M,D) -> decoded uint8 video.
 
         ``max_frames`` optionally caps the generated length; by default the
-        full audio length is used (round-1 silently truncated to 256)."""
+        full audio length is used (round-1 silently truncated to 256).
+        ``audio_path``: the driving .wav — muxed into the written output
+        (reference ``export_video_with_audio``, ``pipeline.py:210-263``)."""
         import cv2
 
         frame = cv2.cvtColor(cv2.imread(refimg_path), cv2.COLOR_BGR2RGB)
@@ -406,5 +420,6 @@ class ImageAudio2VideoPipeline:
         out = np.asarray(vae_mod.vae_decode_rgb_jit(
             self.vae, self.vae_params, latents)[0])
         if output_path:
-            vio.write_video(output_path, out, fps=fps)
+            vio.write_video(output_path, out, fps=fps,
+                            audio_path=audio_path)
         return out

@@ -66,6 +66,44 @@ class TestDatasets:
         assert s["ref_audio"].shape == (5, 8)
         assert s["mask"].shape == (4,)
 
+    def test_video_audio_random_ref(self, video_dir, tmp_path):
+        """A2MVideoAudioPoseRandomRef (reference dataset.py:1063-1259):
+        reference frame drawn from outside the sampled clip."""
+        from hivae_tpu.data.datasets import VideoAudioRandomRefDataset
+
+        audio = np.random.randn(12, 5, 8).astype(np.float32)
+        emb = str(tmp_path / "emb_rr.npy")
+        np.save(emb, audio)
+        meta = [{"name": "clip0",
+                 "video_path": os.path.join(video_dir, "clip0.mp4"),
+                 "audio_emb_path": emb}]
+        ds = VideoAudioRandomRefDataset(meta, sample_n_frames=4,
+                                        sample_size=32)
+        s = ds[0]
+        assert s["gt_video"].shape == (4, 3, 32, 32)
+        assert s["gt_audio"].shape == (4, 5, 8)
+        assert s["mask"].sum() == 4
+        # the ref index must fall outside the clip: over several draws the
+        # ref audio row should differ from the clip's leading row sometimes
+        idx, _ = ds._sample_indices(12)
+        ref, clip = idx[0], idx[1:]
+        assert ref < clip[0] or ref > clip[-1]
+
+    def test_random_ref_falls_back_when_clip_covers_video(self, video_dir,
+                                                          tmp_path):
+        from hivae_tpu.data.datasets import VideoAudioRandomRefDataset
+
+        audio = np.random.randn(12, 5, 8).astype(np.float32)
+        emb = str(tmp_path / "emb_rr2.npy")
+        np.save(emb, audio)
+        meta = [{"name": "clip0",
+                 "video_path": os.path.join(video_dir, "clip0.mp4"),
+                 "audio_emb_path": emb}]
+        ds = VideoAudioRandomRefDataset(meta, sample_n_frames=12,
+                                        sample_size=32)
+        idx, _ = ds._sample_indices(12)
+        assert idx[0] == idx[1]  # no outside frame -> clip start (ref :1144)
+
     def test_loader(self, video_dir):
         ds = VideoClipDataset(video_dir, sample_n_frames=2, sample_size=32)
         dl = DataLoader(ds, batch_size=2, num_workers=2, drop_last=True)

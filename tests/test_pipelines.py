@@ -129,6 +129,24 @@ class TestGTMotionAblation:
         out = pipe.reconstruct(path, num_windows=2, video_sample_step=2)
         assert out.shape == (2 * W + 1, 3, SIZE, SIZE)
 
+    def test_mask_ratio_knob(self, tiny_stack, tmp_path):
+        """The reference's motion-token masking ablation (AMDTestPipeLine,
+        pipeline.py:266): a non-zero ratio must change the reconstruction."""
+        from hivae_tpu.pipelines import GTMotionAblationPipeline
+
+        path = str(tmp_path / "m.mp4")
+        rng = np.random.RandomState(2)
+        frames = rng.randint(0, 255, (W + 3, SIZE, SIZE, 3), dtype=np.uint8)
+        vio.write_video(path, frames, fps=8)
+        pipe = GTMotionAblationPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, sample_size=SIZE)
+        base = pipe.reconstruct(path, num_windows=1, video_sample_step=2)
+        masked = pipe.reconstruct(path, num_windows=1, video_sample_step=2,
+                                  mask_ratio=0.5)
+        assert masked.shape == base.shape
+        assert not np.array_equal(masked, base)
+
 
 @pytest.mark.slow
 class TestImageAudio2Video:

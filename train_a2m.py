@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--vae_ckpt", type=str, default=None)
     p.add_argument("--model_type", type=str, default="AMD_N")
     # data
+    p.add_argument("--dataset", type=str, default="A2MVideoAudio",
+                   choices=["A2MVideoAudio", "A2MVideoAudioPoseRandomRef"],
+                   help="consecutive-ref (reference A2MVideoAudio[Pose]) or "
+                        "random-outside-clip reference "
+                        "(A2MVideoAudioPoseRandomRef, dataset.py:1063)")
     p.add_argument("--video_dir", type=str, required=True,
                    help="pkl list of {video_path, audio_emb_path}")
     p.add_argument("--video_frames", type=int, default=16)
@@ -71,7 +76,8 @@ def main():
     import optax
 
     from amd_inference import load_amd
-    from hivae_tpu.data.datasets import DataLoader, VideoAudioDataset
+    from hivae_tpu.data.datasets import (DataLoader, VideoAudioDataset,
+                                         VideoAudioRandomRefDataset)
     from hivae_tpu.models import vae as vae_mod
     from hivae_tpu.parallel import batch_sharding, create_mesh
     from hivae_tpu.training import checkpoint as ckpt_lib
@@ -122,9 +128,12 @@ def main():
     a2m_params = init_on_cpu(_init_a2m)
     ckpt_lib.save_config(spec, out_dir)
 
-    dataset = VideoAudioDataset(args.video_dir,
-                                sample_n_frames=args.video_frames,
-                                sample_size=args.sample_size)
+    ds_cls = (VideoAudioRandomRefDataset
+              if args.dataset == "A2MVideoAudioPoseRandomRef"
+              else VideoAudioDataset)
+    dataset = ds_cls(args.video_dir,
+                     sample_n_frames=args.video_frames,
+                     sample_size=args.sample_size)
     loader = DataLoader(dataset, args.train_batch_size,
                         num_workers=args.dataloader_num_workers,
                         shard_id=jax.process_index(),
