@@ -8,11 +8,16 @@ The reference publishes no numbers (BASELINE.md); the driver-set target is
 ``A100_FPS`` (the ``vs_baseline`` anchor) is a derived roofline figure, not
 a measurement: one 16-frame roundtrip costs 14.14 TFLOP (XLA cost analysis:
 encode 4.30 + decode 9.84 TFLOP, benchmarks/RESULTS.md), so 60 frames/s
-corresponds to an A100 (312 TFLOP/s fp16 dense peak) sustaining ~17% MFU on
-the sd-vae conv stack — the ballpark eager-torch fp16 diffusers VAEs reach
-in practice. vs_baseline >= 1.0 therefore means "at least A100-class";
-the measured TPU number's own MFU is reported in RESULTS.md (~80% of a
-v5e's 197 TFLOP/s bf16 peak).
+corresponds to an A100 (312 TFLOP/s fp16 dense peak per the public NVIDIA
+A100 80GB datasheet, the one external constant the derivation rests on)
+sustaining ~17% MFU on the sd-vae conv stack — the ballpark eager-torch
+fp16 diffusers VAEs reach in practice. The anchor is REPRODUCIBLE, not just
+derived: ``benchmarks/bench_torch_cpu.py`` auto-detects CUDA and, run once
+on any A100 host, measures this exact workload in eager torch fp16 —
+substitute its output for A100_FPS the day a GPU is available.
+vs_baseline >= 1.0 therefore means "at least A100-class"; the measured TPU
+number's own MFU is reported in RESULTS.md (~80% of a v5e's 197 TFLOP/s
+bf16 peak).
 
 Timing note: ``block_until_ready`` is a no-op through the axon relay, so the
 loop is fenced by a scalar host fetch (a real device sync) instead.

@@ -1,9 +1,16 @@
-"""PyTorch-CPU baseline for the headline VAE benchmark.
+"""PyTorch baseline for the headline VAE benchmark (CPU, or CUDA if present).
 
 A torch restatement of the same AutoencoderKL architecture (sd-vae-ft-mse
-config) running encode+decode of 16 frames @ 256² on CPU — the reference's
-CPU cost basis for the ">=10x PyTorch-CPU" target (BASELINE.md). Weights are
-random (identical FLOPs/memory to real weights).
+config) running encode+decode of 16 frames @ 256² — the reference's cost
+basis for the ">=10x PyTorch-CPU" target (BASELINE.md). Weights are random
+(identical FLOPs/memory to real weights).
+
+On a CUDA host this same script IS the A100 anchor measurement: run
+``python benchmarks/bench_torch_cpu.py`` on an A100 and it reports fp16
+eager frames/s directly — replacing bench.py's derived ``A100_FPS=60``
+(roofline on the NVIDIA A100 datasheet's 312 TFLOP/s fp16 dense peak) with
+a measured number. No GPU exists in this image, so the derived figure plus
+this reproducible recipe is the anchor's provenance.
 """
 
 import time
@@ -111,21 +118,31 @@ class Decoder(nn.Module):
 
 def main():
     torch.set_grad_enabled(False)
-    enc, dec = Encoder().eval(), Decoder().eval()
-    x = torch.randn(FRAMES, 3, RES, RES)
+    cuda = torch.cuda.is_available()
+    device = "cuda" if cuda else "cpu"
+    dtype = torch.float16 if cuda else torch.float32
+    frames = 16 if cuda else FRAMES
+    enc = Encoder().eval().to(device=device, dtype=dtype)
+    dec = Decoder().eval().to(device=device, dtype=dtype)
+    x = torch.randn(frames, 3, RES, RES, device=device, dtype=dtype)
     # warmup
     z = enc(x)[:, :4]
     _ = dec(z)
+    if cuda:
+        torch.cuda.synchronize()
     t0 = time.perf_counter()
-    iters = 2
+    iters = 10 if cuda else 2
     for _ in range(iters):
         z = enc(x)[:, :4]
         out = dec(z)
+    if cuda:
+        torch.cuda.synchronize()
     dt = (time.perf_counter() - t0) / iters
-    fps = FRAMES / dt
-    print(f"torch-CPU VAE encode+decode: {dt*1e3:.0f} ms for {FRAMES}f "
-          f"@ {RES}^2 -> {fps:.2f} frames/s")
-    print(f"(TPU v5e bf16 measured 180 f/s -> {180/fps:.0f}x torch-CPU)")
+    fps = frames / dt
+    dev = torch.cuda.get_device_name() if cuda else "CPU"
+    print(f"torch-{dev} ({dtype}) VAE encode+decode: {dt*1e3:.0f} ms for "
+          f"{frames}f @ {RES}^2 -> {fps:.2f} frames/s")
+    print(f"(TPU v5e bf16 measured 180 f/s -> {180/fps:.0f}x this host)")
 
 
 if __name__ == "__main__":

@@ -154,18 +154,44 @@ def shard_train_step(train_step, mesh, state: TrainState,
     return jitted, state_shardings
 
 
+def _path_key(keypath) -> tuple:
+    """Tree path -> hashable tuple of name components (dict keys, attr
+    names, sequence indices)."""
+    out = []
+    for p in keypath:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "name"):
+            out.append(str(p.name))
+        elif hasattr(p, "idx"):
+            out.append(int(p.idx))
+        else:
+            out.append(str(p))
+    return tuple(out)
+
+
 def _match_opt_shardings(state_shardings: TrainState, state: TrainState,
                          p_shard, mesh):
-    """Adam moments mirror their parameter's sharding; scalars replicate."""
-    flat_params = jax.tree_util.tree_leaves_with_path(state.params)
-    shard_by_shape = {}
-    for (kp, leaf), s in zip(flat_params,
+    """Adam moments mirror their parameter's sharding, matched by tree PATH.
+
+    The moment trees (mu/nu, MultiSteps' accumulated grads) embed the params
+    pytree under a prefix, so each moment leaf's path ends with its
+    parameter's path — match that suffix (and the shape, defensively).
+    A shape-keyed match (round 2) silently gave two same-shaped params with
+    different specs the first one's spec; scalars (count) replicate."""
+    param_specs = {}
+    for (kp, leaf), s in zip(jax.tree_util.tree_leaves_with_path(state.params),
                              jax.tree_util.tree_leaves(p_shard)):
-        shard_by_shape.setdefault(leaf.shape, s)
+        param_specs[_path_key(kp)] = (leaf.shape, s)
 
-    def pick(leaf):
-        return shard_by_shape.get(getattr(leaf, "shape", None),
-                                  replicate(mesh))
+    def pick(kp, leaf):
+        key = _path_key(kp)
+        shape = getattr(leaf, "shape", None)
+        for start in range(len(key)):
+            hit = param_specs.get(key[start:])
+            if hit is not None and hit[0] == shape:
+                return hit[1]
+        return replicate(mesh)
 
-    opt_shard = jax.tree.map(pick, state.opt_state)
+    opt_shard = jax.tree_util.tree_map_with_path(pick, state.opt_state)
     return state_shardings.replace(opt_state=opt_shard)

@@ -55,3 +55,42 @@ class TestEndToEnd:
         out = jax.jit(lambda a, b: a @ b)(xs, ws)
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5,
                                    atol=1e-5)
+
+
+class TestOptShardingByPath:
+    def test_moments_match_params_by_path(self):
+        """Every Adam moment leaf must carry exactly its parameter's
+        sharding — matched by tree path. Regression for the round-2
+        shape-keyed match: two same-shaped kernels with different TP specs
+        (to_q column-parallel vs to_out row-parallel) must not share one."""
+        import jax.numpy as jnp
+
+        from hivae_tpu.training.train_state import (TrainState, _path_key,
+                                                    make_optimizer,
+                                                    shard_train_step)
+
+        mesh = create_mesh((1, 2, 2))
+        params = {"params": {"attn1": {
+            "to_q": {"kernel": jnp.zeros((256, 256))},
+            "to_out": {"kernel": jnp.zeros((256, 256))}}}}
+        state = TrainState.create(params, make_optimizer(1e-4))
+
+        _, shardings = shard_train_step(lambda s, b, r: (s, {}), mesh, state)
+
+        p_specs = {_path_key(kp): s.spec for kp, s in
+                   jax.tree_util.tree_leaves_with_path(shardings.params)}
+        q_key = ("params", "attn1", "to_q", "kernel")
+        o_key = ("params", "attn1", "to_out", "kernel")
+        assert p_specs[q_key] != p_specs[o_key]  # distinct TP specs
+
+        matched = 0
+        for kp, s in jax.tree_util.tree_leaves_with_path(
+                shardings.opt_state):
+            key = _path_key(kp)
+            for start in range(len(key)):
+                if key[start:] in p_specs:
+                    assert s.spec == p_specs[key[start:]], key
+                    matched += 1
+                    break
+        # mu + nu for each of the two kernels at minimum
+        assert matched >= 4
