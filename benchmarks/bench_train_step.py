@@ -28,7 +28,8 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
-                   choices=["full", "dots"])
+                   choices=["full", "dots", "dots_sans_ffn",
+                            "dots_offload"])
     p.add_argument("--attn_impl", type=str, default="xla",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--mu_dtype", type=str, default="fp32",

@@ -839,8 +839,10 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
     """
     cfg: AMDConfig = model.cfg
     n, t, l, d = motion.shape
+    key, kmask = jax.random.split(key)
+    enc_rngs = {} if mask_ratio is None else {"rngs": {"mask": kmask}}
     src = model.apply(params, ref_img[:, None], mask_ratio,
-                      method="extract_motion")
+                      method="extract_motion", **enc_rngs)
     source_motion = jnp.broadcast_to(src, (n, t, l, d)).reshape(n * t, l, d)
     # reference :783 (the one executable motion-transformer branch): the
     # provided target tokens run through the sequence transformer unless

@@ -55,6 +55,34 @@ def _pos1d(hidden: int, length: int, dtype) -> jax.Array:
     return jnp.asarray(emb_ops.get_1d_sincos_pos_embed(hidden, length)).astype(dtype)[None]
 
 
+def _dots_sans_ffn_policy(prim, *args, **params):
+    """Save dot outputs EXCEPT the 4x-wide FFN up-projection.
+
+    At 696M the dots policy's saved gelu inputs (~4x hidden per token per
+    layer) are what push batch 2 past 16 GB (benchmarks/RESULTS.md); this
+    middle policy recomputes just that one expansion matmul in the backward
+    and keeps every same-width dot (QKV/out/down-proj) resident. A wide dot
+    is identified structurally: 2-operand dot_general whose output features
+    exceed 2x its contracted width."""
+    if not jax.checkpoint_policies.dots_with_no_batch_dims_saveable(
+            prim, *args, **params):
+        return False
+    if "dot_general" not in str(prim) or len(args) < 2:
+        return True
+    dims = params.get("dimension_numbers")
+    if dims is None:
+        return True
+    (_, rcontract), _ = dims
+    rhs = args[1]
+    shape = getattr(rhs, "shape", None)
+    if shape is None or len(shape) != 2:
+        return True
+    cdim = rcontract[0] if rcontract else 0
+    in_features = shape[cdim]
+    out_features = shape[1 - cdim]
+    return out_features <= 2 * in_features
+
+
 class _DiTBase(nn.Module):
     """Shared configuration for the velocity DiTs."""
 
@@ -85,6 +113,16 @@ class _DiTBase(nn.Module):
         if self.remat_policy == "dots":
             return {"policy":
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable}
+        if self.remat_policy == "dots_sans_ffn":
+            # dots minus the 4x-wide FFN up-projection — the batch-2 OOM
+            # driver at 696M (RESULTS.md); recompute that matmul instead
+            return {"policy": _dots_sans_ffn_policy}
+        if self.remat_policy == "dots_offload":
+            # keep dot outputs but in host memory: HBM cost of 'full',
+            # recompute cost of 'dots', paid in PCIe/DMA traffic instead
+            return {"policy":
+                    jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                        "device", "pinned_host")}
         return {}
 
     def _blk(self, cls):

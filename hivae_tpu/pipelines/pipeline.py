@@ -133,8 +133,10 @@ def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
     """One GT-motion ablation window (extract -> decode) as one program.
     ``mask_ratio`` masks the motion-token extraction (reference
     ``AMDTestPipeLine`` knob, ``pipeline.py:266,345``)."""
+    key, kmask = jax.random.split(key)
+    enc_rngs = {} if mask_ratio is None else {"rngs": {"mask": kmask}}
     motion = amd_model.apply(amd_params, cur_gt, mask_ratio,
-                             method="extract_motion")
+                             method="extract_motion", **enc_rngs)
     return amd_mod.sample_with_refimg_motion(
         amd_model, amd_params, key, m2v_ref, motion,
         sample_step=sample_step, mask_ratio=mask_ratio)[1]

@@ -32,7 +32,7 @@ def _loss_and_grad(model, params, video, ref):
     return loss(params), jax.grad(loss)(params)
 
 
-@pytest.mark.parametrize("policy", ["full", "dots"])
+@pytest.mark.parametrize("policy", ["full", "dots", "dots_sans_ffn"])
 def test_remat_policy_matches_no_remat(policy):
     video = jax.random.normal(KEY, (1, 4, 4, 8, 8))
     ref = jnp.broadcast_to(video[:, :1], video.shape)

@@ -101,9 +101,12 @@ def parse_args():
     p.add_argument("--image_patch_size", type=int, default=2)
     p.add_argument("--remat", type=str2bool, default=False)
     p.add_argument("--remat_policy", type=str, default="full",
-                   choices=["full", "dots"],
+                   choices=["full", "dots", "dots_sans_ffn", "dots_offload"],
                    help="'dots' keeps matmul outputs through the remat "
-                        "(more HBM, higher MFU)")
+                        "(more HBM, higher MFU); 'dots_sans_ffn' drops only "
+                        "the 4x-wide FFN up-projection from the saved set "
+                        "(batch 2 at 696M); 'dots_offload' keeps dot "
+                        "outputs in host memory")
     p.add_argument("--scan_layers", type=str2bool, default=False,
                    help="nn.scan-stack DiT layers (faster compiles)")
     p.add_argument("--attn_impl", type=str, default="auto",
