@@ -132,3 +132,115 @@ class TestGetClipEmbCLI:
         assert len(files) == 2
         e = np.load(out / files[0])
         assert e.ndim == 1 and np.isfinite(e).all()
+
+
+class TestA2VInferenceCLI:
+    def test_generates_video_with_audio(self, tmp_path, monkeypatch):
+        """a2v_inference.py end-to-end: tiny AMD + A2M checkpoints, ref
+        image + whisper-style embedding + driving wav -> video file whose
+        container carries the audio stream."""
+        import wave
+
+        import cv2
+        import jax
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        from hivae_tpu.models import a2m as a2m_mod
+        from hivae_tpu.models import amd as amd_mod
+
+        KEY = jax.random.PRNGKey(0)
+        W, LAT, SIZE = 4, 4, 32
+        amd_cfg = amd_mod.AMDConfig(
+            image_height=LAT, image_width=LAT, image_patch_size=1,
+            video_frames=W, use_filter=True, use_grey=True,
+            object_motion_token_num=2, object_motion_token_channel=16,
+            object_enc_num_layers=1, enc_nhead=2, enc_ndim=8,
+            camera_motion_token_num=W, camera_motion_token_channel=8,
+            camera_enc_num_layers=1, motion_token_num=2,
+            motion_token_channel=16, diffusion_model_type="spatial",
+            diffusion_attn_head_dim=8, diffusion_attn_num_heads=2,
+            diffusion_num_layers=1)
+        amd = amd_mod.AMDModelNew(cfg=amd_cfg)
+        v = jnp.zeros((1, W, 4, LAT, LAT))
+        amd_params = amd.init({"params": KEY, "noise": KEY}, v, v, v, v)
+
+        a2m_spec = {"model_type": "A2MModel_CrossAtten_Audio",
+                    "model": dict(audio_inchannel=8, audio_block=3,
+                                  motion_num_token=2, motion_in_channel=16,
+                                  motion_frames=W, window_size=2,
+                                  encoder_out_dim=16, intermediate_dim=16,
+                                  diffusion_attn_head_dim=8,
+                                  diffusion_attn_num_heads=2,
+                                  diffusion_num_layers=1)}
+        a2m_cfg = a2m_mod.A2MConfig.from_dict(a2m_spec["model"])
+        a2m = a2m_mod.A2MModelCrossAttnAudio(cfg=a2m_cfg, variant="audio")
+        motion = jnp.zeros((1, W, 2, 16))
+        audio = jnp.zeros((1, W, 3, 8))
+        a2m_params = a2m.init({"params": KEY, "noise": KEY}, motion,
+                              motion[:, 0], audio=audio,
+                              ref_audio=audio[:, 0])
+
+        import json as _json
+
+        import numpy as _np
+
+        amd_dir = tmp_path / "amd"
+        (amd_dir / "checkpoints").mkdir(parents=True)
+        (amd_dir / "config.json").write_text(_json.dumps(amd_cfg.to_dict()))
+        ocp.StandardCheckpointer().save(
+            str(amd_dir / "checkpoints" / "checkpoint-1"),
+            {"params": jax.device_get(amd_params)})
+        a2m_dir = tmp_path / "a2m"
+        (a2m_dir / "checkpoints").mkdir(parents=True)
+        (a2m_dir / "spec.json").write_text(_json.dumps(a2m_spec))
+        ocp.StandardCheckpointer().save(
+            str(a2m_dir / "checkpoints" / "checkpoint-1"),
+            {"params": jax.device_get(a2m_params)})
+
+        rng = _np.random.RandomState(0)
+        img_path = str(tmp_path / "ref.png")
+        cv2.imwrite(img_path, rng.randint(0, 255, (SIZE, SIZE, 3),
+                                          dtype=_np.uint8))
+        emb_path = str(tmp_path / "emb.npy")
+        _np.save(emb_path, rng.randn(2 * W + 1, 3, 8).astype(_np.float32))
+        wav_path = str(tmp_path / "drv.wav")
+        pcm = (_np.sin(_np.arange(32000) / 10) * 20000).astype("<i2")
+        with wave.open(wav_path, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(16000)
+            wv.writeframes(pcm.tobytes())
+
+        out_path = str(tmp_path / "out" / "gen.mp4")
+        import a2v_inference
+
+        argv = ["a2v_inference.py",
+                "--amd_config", str(amd_dir / "config.json"),
+                "--amd_ckpt", str(amd_dir / "checkpoints"),
+                "--a2m_config", str(a2m_dir / "spec.json"),
+                "--a2m_ckpt", str(a2m_dir / "checkpoints"),
+                "--ref_image", img_path,
+                "--audio_emb", emb_path,
+                "--audio_wav", wav_path,
+                "--output", out_path,
+                "--window", str(W), "--a2m_ref_num_frame", "2",
+                "--sample_size", str(SIZE), "--video_frames", str(W),
+                "--motion_sample_step", "2", "--video_sample_step", "2",
+                "--fps", "8"]
+        monkeypatch.setattr(sys, "argv", argv)
+        a2v_inference.main()
+
+        # no ffmpeg in the image -> AVI fallback with a real audio stream
+        written = out_path[:-4] + ".avi"
+        assert os.path.exists(written)
+        data = open(written, "rb").read()
+        assert b"auds" in data and b"01wb" in data
+        cap = cv2.VideoCapture(written)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 2 * W + 1  # ref frame + generated frames
