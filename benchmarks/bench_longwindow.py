@@ -63,12 +63,20 @@ def main():
     shapes = jax.eval_shape(lambda: model.init(
         {"params": key, "noise": key}, jnp.zeros(lat), jnp.zeros(lat),
         jnp.zeros(lat), jnp.zeros(lat)))
-    # materialize zero weights ON the chip with one program: CPU-resident
-    # params would re-upload ~1 GB per call through the relay, and per-leaf
-    # device_put pays a WAN round trip per tensor
-    params = jax.jit(lambda: jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
-    from hivae_tpu.utils.misc import count_params
+    # Zero weights: build CPU-resident (a 700-output on-device zeros
+    # program compiles pathologically slowly through the relay), then
+    # commit the whole tree to the chip with ONE jitted identity program —
+    # per-leaf device_put pays a WAN round trip per tensor (>20 min/GB),
+    # while a single call uploads ~1 GB in ~5 s. Timed calls below then
+    # pass device-resident handles and measure pure compute.
+    from hivae_tpu.utils.misc import count_params, init_on_cpu
+
+    params = init_on_cpu(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))
+    t0 = time.perf_counter()
+    params = jax.jit(lambda p: p)(params)
+    jax.block_until_ready(params)
+    print(f"param commit to device: {time.perf_counter()-t0:.1f}s")
     print(f"params: {count_params(params)/1e6:.0f}M  window={t}  "
           f"attn={args.attn}")
 
