@@ -133,13 +133,18 @@ def main():
 
     audio_emb = np.load(args.audio_emb)
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    out = pipe.sample(args.ref_image, audio_emb, output_path=args.output,
+    out = pipe.sample(args.ref_image, audio_emb, output_path=None,
                       motion_sample_step=args.motion_sample_step,
                       video_sample_step=args.video_sample_step,
                       fps=args.fps, key=jax.random.PRNGKey(args.seed),
-                      max_frames=args.max_frames,
-                      audio_path=args.audio_wav)
-    print(f"generated {out.shape[0]} frames -> {args.output}"
+                      max_frames=args.max_frames)
+    # write here so the path actually produced is the one reported —
+    # muxing without ffmpeg switches the container to .avi
+    from hivae_tpu.data import video as vio
+
+    written = vio.write_video(args.output, out, fps=args.fps,
+                              audio_path=args.audio_wav)
+    print(f"generated {out.shape[0]} frames -> {written}"
           f"{' (audio muxed)' if args.audio_wav else ''}")
 
 

@@ -47,12 +47,6 @@ def load_amd(args, dtype):
     cls = amd.AMDModelNew if args.model_type == "AMD_N" else amd.AMDModel
     model = cls(cfg=cfg, dtype=dtype)
 
-    # honor the config's attention impl at inference too (ring needs a mesh
-    # installed here — it is not trainer-only state; round-2 VERDICT Weak #2)
-    from hivae_tpu.ops.attention import install_attn_impl
-
-    install_attn_impl(cfg)
-
     from hivae_tpu.utils.misc import init_on_cpu
 
     def _init():
@@ -87,6 +81,15 @@ def load_amd(args, dtype):
             restored, "get") else restored
         if "params" not in params:
             params = {"params": params}
+
+    # honor the config's attention impl at inference too (ring needs a mesh
+    # installed here — it is not trainer-only state; round-2 VERDICT Weak
+    # #2). Installed AFTER the CPU-eager init: with the ring mesh already
+    # present, init's eager ops would dispatch shard_map onto the TPU mesh
+    # from inside the jax.default_device(cpu) scope.
+    from hivae_tpu.ops.attention import install_attn_impl
+
+    install_attn_impl(cfg)
     return model, params
 
 

@@ -57,10 +57,6 @@ def main():
     model = amd_mod.AMDModelNew(cfg=cfg, dtype=jnp.bfloat16)
     vae = vae_mod.AutoencoderKL(dtype=jnp.bfloat16)
 
-    from hivae_tpu.ops.attention import install_attn_impl
-
-    install_attn_impl(cfg)  # ring needs its mesh installed outside training
-
     lat = cfg.image_height
     use_grey = cfg.use_grey
 
@@ -74,6 +70,12 @@ def main():
         return amd_params, vae_params
 
     amd_params, vae_params = init_on_cpu(_init)
+
+    # ring needs its mesh installed outside training — but only after the
+    # CPU-eager init, which must not dispatch onto the TPU mesh
+    from hivae_tpu.ops.attention import install_attn_impl
+
+    install_attn_impl(cfg)
     if args.amd_ckpt:
         from hivae_tpu.training import checkpoint as ckpt_lib
         if args.amd_ckpt.endswith(".safetensors"):

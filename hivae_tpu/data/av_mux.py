@@ -152,10 +152,9 @@ def export_video_with_audio(output_path: str, frames: np.ndarray,
     (``model/pipeline.py:210-263``): write temp silent video, ``ffmpeg -ss
     <start> -t <dur> -acodec copy`` trim, then ``-c:v copy -c:a aac`` merge.
     """
-    if frames.ndim != 4:
-        raise ValueError("frames must be (F, H, W, C) or (F, C, H, W)")
-    if frames.shape[1] in (1, 3) and frames.shape[1] < frames.shape[-1]:
-        frames = frames.transpose(0, 2, 3, 1)
+    from .video import to_hwc_frames
+
+    frames = to_hwc_frames(frames)
     duration = frames.shape[0] / fps
 
     if shutil.which("ffmpeg"):

@@ -72,7 +72,8 @@ class VideoClipDataset:
     def __init__(self, video_dir, sample_n_frames: int = 16,
                  sample_size: int = 256, target_fps: float = 8,
                  use_grey: bool = False, use_mask: bool = False,
-                 mask_video_ratio: float = 0.5, seed: int = 0):
+                 mask_video_ratio: float = 0.5, seed: int = 0,
+                 mask_latent_size=32, mask_latent_channels: int = 4):
         self.metadata = (list_videos(video_dir) if isinstance(video_dir, str)
                          else list(video_dir))
         self.sample_n_frames = sample_n_frames
@@ -81,6 +82,13 @@ class VideoClipDataset:
         self.use_grey = use_grey
         self.use_mask = use_mask
         self.mask_video_ratio = mask_video_ratio
+        # camera_mask must match the model's LF-band latent geometry
+        # (image_height/width, image_inchannel) — (32, 32, 4) for the
+        # default 256² → 4×32×32 VAE, resized for any other geometry
+        if isinstance(mask_latent_size, int):
+            mask_latent_size = (mask_latent_size, mask_latent_size)
+        self.mask_latent_size = tuple(mask_latent_size)
+        self.mask_latent_channels = mask_latent_channels
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -117,9 +125,16 @@ class VideoClipDataset:
         if self.use_mask:
             cam, _ = flow_mask(frames[0], frames[-1],
                                mask_video_ratio=self.mask_video_ratio)
-            cam = cam.astype(np.float32)[None, None]
-            sample["camera_mask"] = np.tile(cam,
-                                            (2 * self.sample_n_frames, 4, 1, 1))
+            cam = cam.astype(np.float32)
+            h, w = self.mask_latent_size
+            if cam.shape != (h, w):
+                import cv2
+
+                cam = cv2.resize(cam, (w, h),
+                                 interpolation=cv2.INTER_NEAREST)
+            sample["camera_mask"] = np.tile(
+                cam[None, None],
+                (2 * self.sample_n_frames, self.mask_latent_channels, 1, 1))
         return sample
 
 

@@ -126,6 +126,17 @@ def save_videos_grid(path: str, videos: np.ndarray, fps: float = 8.0,
     write_video(path, grid, fps=fps)
 
 
+def to_hwc_frames(frames: np.ndarray) -> np.ndarray:
+    """(F,C,H,W) or (F,H,W,C) -> (F,H,W,C): the single layout heuristic
+    shared by every writer (channels-first iff dim 1 looks like 1/3
+    channels and is smaller than the trailing dim)."""
+    if frames.ndim != 4:
+        raise ValueError("frames must be (F, H, W, C) or (F, C, H, W)")
+    if frames.shape[1] in (1, 3) and frames.shape[1] < frames.shape[-1]:
+        frames = frames.transpose(0, 2, 3, 1)
+    return frames
+
+
 def write_video(path: str, frames: np.ndarray, fps: float = 8.0,
                 audio_path: str | None = None,
                 audio_start: float = 0.0) -> str:
@@ -140,9 +151,7 @@ def write_video(path: str, frames: np.ndarray, fps: float = 8.0,
 
         return export_video_with_audio(path, frames, fps, audio_path,
                                        audio_start)
-    if frames.shape[1] in (1, 3) and frames.ndim == 4 and \
-            frames.shape[1] < frames.shape[-1]:
-        frames = frames.transpose(0, 2, 3, 1)
+    frames = to_hwc_frames(frames)
     h, w = frames.shape[1:3]
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
                              float(fps), (w, h))

@@ -839,8 +839,12 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
     """
     cfg: AMDConfig = model.cfg
     n, t, l, d = motion.shape
-    key, kmask = jax.random.split(key)
-    enc_rngs = {} if mask_ratio is None else {"rngs": {"mask": kmask}}
+    # split only when masking: keeps the z0 noise stream (and so the
+    # sampled videos for a fixed seed) identical to the pre-mask_ratio code
+    enc_rngs = {}
+    if mask_ratio is not None:
+        key, kmask = jax.random.split(key)
+        enc_rngs = {"rngs": {"mask": kmask}}
     src = model.apply(params, ref_img[:, None], mask_ratio,
                       method="extract_motion", **enc_rngs)
     source_motion = jnp.broadcast_to(src, (n, t, l, d)).reshape(n * t, l, d)
@@ -1040,9 +1044,19 @@ AMD_MODELS = {
 
 
 def extract_motion(model: nn.Module, params, video: jax.Array,
-                   mask_ratio=None):
-    """Frozen-model motion extraction (reference ``extract_motion``)."""
-    return model.apply(params, video, mask_ratio, method="extract_motion")
+                   mask_ratio=None, key: Optional[jax.Array] = None):
+    """Frozen-model motion extraction (reference ``extract_motion``).
+
+    ``mask_ratio`` needs a ``key`` for the token-drop jitter; without one
+    the masked encoder would die inside Flax on a missing 'mask' rng.
+    """
+    rngs = {}
+    if mask_ratio is not None:
+        if key is None:
+            raise ValueError("extract_motion(mask_ratio=...) needs key=")
+        rngs = {"rngs": {"mask": key}}
+    return model.apply(params, video, mask_ratio, method="extract_motion",
+                       **rngs)
 
 
 extract_motion_jit = jax.jit(extract_motion, static_argnums=(0,),

@@ -63,6 +63,15 @@ def set_ring_context(mesh=None, axis: str = "tensor",
 def _ring_applicable(q_shape, k_shape) -> bool:
     if _RING_MESH is None:
         return False
+    # inside an init_on_cpu scope (jax.default_device(cpu) in a TPU
+    # process) eager ops must stay on CPU — dispatching shard_map onto the
+    # installed TPU mesh from there forces per-op cross-backend copies.
+    # (Deliberately NOT a backend check: on a CPU backend the fake-8-device
+    # test meshes must keep ring active.)
+    dev = jax.config.jax_default_device
+    if (dev is not None and getattr(dev, "platform", None) == "cpu"
+            and _RING_MESH.devices.flat[0].platform != "cpu"):
+        return False
     size = dict(_RING_MESH.shape).get(_RING_AXIS, 1)
     if size <= 1:
         return False

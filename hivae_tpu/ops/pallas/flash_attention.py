@@ -28,7 +28,7 @@ Numerics: logits and softmax accumulate in fp32 regardless of compute dtype;
 the probs are cast back to the value dtype for the PV matmul — bit-matching
 ``ops.attention._sdpa_xla`` within rounding.
 
-Past ``MAX_SEQ`` the full-block schedule no longer fits (at 2048 tokens a
+Past ``_full_block_fits`` (~1024 tokens) the schedule no longer fits (at 2048 tokens a
 single head's fp32 logits are 16.7 MB against 16 MB VMEM) and dispatch moves
 to the **streaming schedule**: a true flash attention — grid over KV blocks
 with running max / denominator / accumulator carried in VMEM scratch (online
@@ -55,7 +55,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_SEQ = 1024      # hb=1 VMEM ceiling: 2*S*S fp32 + operands < 16M
 MIN_ALIGN = 8
 SEQ_ALIGN = 16      # sublane tile for bf16; also a multiple of the fp32 tile
 NEG_INF = -1e30
@@ -273,7 +272,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 # -----------------------------------------------------------------------------
-# Streaming schedule (S > MAX_SEQ): KV-blocked online softmax, FlashAttention-2
+# Streaming schedule (past _full_block_fits): KV-blocked online softmax, FlashAttention-2
 # recomputation backward. VMEM holds only (BQ, BK) tiles; running max /
 # denominator / output accumulator live in VMEM scratch across the KV grid
 # dimension (innermost, sequential on TPU).
@@ -292,15 +291,16 @@ def _stream_pad(x, target):
 def _axis_blocks(s16, cap):
     """(padded_len, block) for one sequence axis: short axes are a single
     16-aligned block; long axes pad to a 128 multiple and take the largest
-    of (cap, cap/2, 128) that divides it — minimising pad waste (e.g. 1104
-    tokens -> 1152/128, not 1536/512) while keeping lane-aligned blocks."""
+    of (cap, 3·cap/4, cap/2, 128) that divides it — minimising pad waste
+    (e.g. 1104 tokens -> 1152 with 384-blocks, not 1536 with 512-blocks)
+    while keeping lane-aligned blocks."""
     if s16 <= cap:
         return s16, s16
     sp = _round_up(s16, 128)
-    for b in (cap, 3 * cap // 4, cap // 2, 128):
+    for b in (cap, 3 * cap // 4, cap // 2):
         if sp % b == 0:
             return sp, b
-    return _round_up(sp, cap), cap
+    return sp, 128  # sp is a 128-multiple by construction
 
 
 def _stream_geom(sq, sk):

@@ -407,7 +407,11 @@ class ImageAudio2VideoPipeline:
         ``max_frames`` optionally caps the generated length; by default the
         full audio length is used (round-1 silently truncated to 256).
         ``audio_path``: the driving .wav — muxed into the written output
-        (reference ``export_video_with_audio``, ``pipeline.py:210-263``)."""
+        (reference ``export_video_with_audio``, ``pipeline.py:210-263``).
+        Note: without ffmpeg the muxed container is .avi, so the file
+        written can differ from ``output_path`` by extension — pass
+        ``output_path=None`` and call ``write_video`` yourself when you
+        need the final path (as ``a2v_inference.py`` does)."""
         import cv2
 
         frame = cv2.cvtColor(cv2.imread(refimg_path), cv2.COLOR_BGR2RGB)

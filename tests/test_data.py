@@ -40,6 +40,20 @@ class TestDatasets:
         # reference frame is repeated
         np.testing.assert_allclose(s["ref_img"][0], s["ref_img"][3])
 
+    def test_camera_mask_geometry(self, video_dir):
+        # the mask must follow the model's latent geometry, not a
+        # hard-coded 32x32x4 (code-review round-3 finding)
+        ds = VideoClipDataset(video_dir, sample_n_frames=4, sample_size=32,
+                              use_mask=True, mask_latent_size=(16, 8),
+                              mask_latent_channels=8)
+        s = ds[0]
+        assert s["camera_mask"].shape == (8, 8, 16, 8)
+        assert set(np.unique(s["camera_mask"])) <= {0.0, 1.0}
+        # default stays the 4x32x32 latent layout over 2T frames
+        ds = VideoClipDataset(video_dir, sample_n_frames=4, sample_size=32,
+                              use_mask=True)
+        assert ds[0]["camera_mask"].shape == (8, 4, 32, 32)
+
     def test_error_retry(self, video_dir):
         meta = list_videos(video_dir)
         meta.insert(0, {"name": "bad", "video_path": "/nonexistent.mp4"})

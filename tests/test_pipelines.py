@@ -147,6 +147,24 @@ class TestGTMotionAblation:
         assert masked.shape == base.shape
         assert not np.array_equal(masked, base)
 
+    def test_extract_motion_mask_ratio(self, tiny_stack):
+        """Masked extraction needs a 'mask' rng: the public helper must
+        thread it (round-3 code-review: it used to crash in Flax) and must
+        fail loudly when the key is missing."""
+        from hivae_tpu.models import amd as amd_mod
+
+        video = jnp.zeros((1, 2, 4, SIZE // 8, SIZE // 8))
+        out = amd_mod.extract_motion(tiny_stack["amd"],
+                                     tiny_stack["amd_params"], video,
+                                     mask_ratio=0.5, key=KEY)
+        base = amd_mod.extract_motion(tiny_stack["amd"],
+                                      tiny_stack["amd_params"], video)
+        assert out.shape == base.shape
+        with pytest.raises(ValueError, match="needs key"):
+            amd_mod.extract_motion(tiny_stack["amd"],
+                                   tiny_stack["amd_params"], video,
+                                   mask_ratio=0.5)
+
 
 @pytest.mark.slow
 class TestImageAudio2Video:

@@ -250,6 +250,9 @@ def main():
                      use_grey=getattr(model.cfg, "use_grey", False),
                      use_mask=getattr(model.cfg, "use_mask", False),
                      mask_video_ratio=args.mask_video_ratio,
+                     mask_latent_size=(model.cfg.image_height,
+                                       model.cfg.image_width),
+                     mask_latent_channels=model.cfg.image_inchannel,
                      seed=args.seed)
     loader = DataLoader(dataset, args.train_batch_size,
                         num_workers=args.dataloader_num_workers,
