@@ -31,6 +31,16 @@ def parse_args():
                    help="load the EMA weight tree from an Orbax checkpoint "
                         "trained with --ema_decay (falls back to the live "
                         "params if the checkpoint has none)")
+    p.add_argument("--long", action="store_true",
+                   help="windowed autoregressive long-video mode (reference "
+                        "AMDPipeLine): chain each window on the previous "
+                        "window's last generated frame, up to --max_frames")
+    p.add_argument("--max_frames", type=int, default=256,
+                   help="long mode: frame cap (reference max_infer_length)")
+    p.add_argument("--mask_ratio", type=float, default=None,
+                   help="long mode: motion-token mask ratio knob")
+    p.add_argument("--drop_prev_img", action="store_true",
+                   help="long mode: zero the chained reference frame")
     return p.parse_args()
 
 
@@ -130,9 +140,17 @@ def main():
         name = os.path.splitext(os.path.basename(vp))[0]
         out = os.path.join(args.output_dir, f"{name}_recon.mp4")
         try:
-            pipe.sample(vp, out, video_sample_step=args.sample_step,
-                        fps=args.fps, key=jax.random.PRNGKey(i),
-                        solver=args.solver)
+            if args.long:
+                pipe.sample_long(vp, out, video_sample_step=args.sample_step,
+                                 fps=args.fps, key=jax.random.PRNGKey(i),
+                                 solver=args.solver,
+                                 max_frames=args.max_frames,
+                                 mask_ratio=args.mask_ratio,
+                                 drop_prev_img=args.drop_prev_img)
+            else:
+                pipe.sample(vp, out, video_sample_step=args.sample_step,
+                            fps=args.fps, key=jax.random.PRNGKey(i),
+                            solver=args.solver)
             print(f"[{i+1}/{len(videos)}] {vp} -> {out}")
         except Exception as e:  # per-video fault tolerance (reference :135-152)
             print(f"[{i+1}/{len(videos)}] FAILED {vp}: {e}")

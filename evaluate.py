@@ -1,6 +1,6 @@
 """Reconstruction quality evaluation CLI.
 
-Computes PSNR (and LPIPS when weights are provided) between AMD
+Computes PSNR and SSIM (and LPIPS when weights are provided) between AMD
 reconstructions and ground-truth clips over a directory of videos — the
 working replacement for the reference's commented-out ``model/metric.py``
 (BASELINE: PSNR within 0.1 dB of the reference)."""
@@ -76,9 +76,10 @@ def main():
     videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),
                               recursive=True))[:args.max_videos]
     psnr_j = jax.jit(M.psnr)
+    ssim_j = jax.jit(M.ssim)
     lpips_j = jax.jit(M.lpips_distance, static_argnums=(0,)) \
         if lpips is not None else None
-    psnrs, lpips_vals = [], []
+    psnrs, ssims, lpips_vals = [], [], []
     for i, vp in enumerate(videos):
         try:
             total, fps = vio.video_metadata(vp)
@@ -105,8 +106,10 @@ def main():
             gt = jnp.asarray(pixels[1:])[None]
             psnr = float(psnr_j(rec, gt))
             psnrs.append(psnr)
+            sv = float(ssim_j(rec, gt))
+            ssims.append(sv)
             line = f"[{i+1}/{len(videos)}] {os.path.basename(vp)}: " \
-                   f"PSNR {psnr:.2f} dB"
+                   f"PSNR {psnr:.2f} dB  SSIM {sv:.4f}"
             if lpips is not None:
                 lv = float(lpips_j(lpips, lpips_params, rec, gt))
                 lpips_vals.append(lv)
@@ -117,6 +120,7 @@ def main():
 
     result = {"psnr_mean": float(np.mean(psnrs)) if psnrs else None,
               "psnr_std": float(np.std(psnrs)) if psnrs else None,
+              "ssim_mean": float(np.mean(ssims)) if ssims else None,
               "lpips_mean": float(np.mean(lpips_vals)) if lpips_vals else None,
               "num_videos": len(psnrs)}
     print(json.dumps(result))

@@ -278,6 +278,12 @@ class MotionEncoderTemporalCross(nn.Module):
                         dtype=self.dtype)(motion_token.astype(self.dtype))
         mtok = jnp.broadcast_to(mtok[:, None], (n, s, self.motion_token_num, hidden))
         if self.motion_token_num != t:
+            if t < self.motion_token_num or t % self.motion_token_num:
+                raise ValueError(
+                    f"camera encoder: frame count {t} must be a multiple of "
+                    f"motion_token_num {self.motion_token_num} (the tokens "
+                    f"are stretched to T by repetition) — pick a window "
+                    f"that the trained token count divides")
             mtok = jnp.repeat(mtok, t // self.motion_token_num, axis=2)
         mtok = mtok.reshape(n * s, t, hidden) + tpos[None, :t]
 

@@ -5,7 +5,11 @@ Capability parity with the reference pipelines (reference:
 ``model/pipeline.py``):
 
   * ``AMDReconstructionPipeline``  ~ ``AMDPipeLine_single:619-794`` — read a
-    clip, VAE-encode, AMD motion-extract + Euler-decode, VAE-decode, write.
+    clip, VAE-encode, AMD motion-extract + Euler-decode, VAE-decode, write;
+    its ``sample_long`` is the windowed autoregressive long-video form
+    (``AMDPipeLine:459-618``: each window's reference frame is the previous
+    window's last *generated* frame, with ``mask_ratio``/``drop_prev_img``
+    knobs and the 256-frame cap).
   * ``AMDCrossVideoPipeline``      ~ ``AMDPipeLine_single_cross:801`` —
     motion from one clip, appearance from another.
   * ``ImageAudio2VideoPipeline``   ~ ``ImageAudio2VideoPipeLine:1217-1528`` —
@@ -126,6 +130,38 @@ def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
     return motion_pre, video_pre
 
 
+@partial(jax.jit, static_argnums=(0,),
+         static_argnames=("sample_step", "mask_ratio", "use_grey",
+                          "drop_prev_img", "solver"))
+def _long_recon_window(amd_model, amd_params, cur_gt, prev_img, grey_cur_gt,
+                       grey_prev_img, key, sample_step, mask_ratio=None,
+                       use_grey=False, drop_prev_img=False, solver="euler"):
+    """One W-frame window of the autoregressive long-video reconstruction
+    (reference ``AMDPipeLine.sample`` inner loop, ``pipeline.py:545-595``)
+    as ONE program — compiled once and reused for every window including
+    the ragged tail (same static W)."""
+    ref = jnp.broadcast_to(prev_img[:, None], cur_gt.shape)
+    if drop_prev_img:  # reference ``:558`` zeroes the reference frame
+        ref = jnp.zeros_like(ref)
+    kw = {}
+    if use_grey:
+        kw = dict(video_grey=grey_cur_gt,
+                  ref_img_grey=jnp.broadcast_to(grey_prev_img[:, None],
+                                                cur_gt.shape))
+    if isinstance(amd_model, amd_mod.AMDModelNew):
+        # The reference pipeline's single knob only exists on the dual
+        # model's sample (``model_AMD.py:426``); map it to both encoder
+        # ratios for the decoupled model.
+        ratios = dict(camera_mask_ratio=mask_ratio,
+                      object_mask_ratio=mask_ratio)
+    else:
+        ratios = dict(camera_mask_ratio=mask_ratio)
+    _, video_pre, _ = amd_mod.sample(
+        amd_model, amd_params, key, cur_gt, ref,
+        sample_step=sample_step, solver=solver, **ratios, **kw)
+    return video_pre
+
+
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("sample_step", "mask_ratio"))
 def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
@@ -186,6 +222,111 @@ class AMDReconstructionPipeline:
             camera_mask_ratio=camera_mask_ratio,
             object_mask_ratio=object_mask_ratio, use_grey=self.use_grey,
             solver=solver))
+        if output_path:
+            vio.write_video(output_path, out, fps=fps)
+        return out
+
+    def sample_long(self, video_path: str, output_path: Optional[str] = None,
+                    video_sample_step: int = 4,
+                    mask_ratio: Optional[float] = None, fps: int = 30,
+                    drop_prev_img: bool = False, max_frames: int = 256,
+                    key: Optional[jax.Array] = None,
+                    solver: str = "euler") -> np.ndarray:
+        """Windowed autoregressive long-video reconstruction (reference
+        ``AMDPipeLine.sample``, ``model/pipeline.py:488-604``): the clip is
+        VAE-encoded once, then reconstructed W frames at a time with each
+        window's reference frame taken from the PREVIOUS window's last
+        *generated* frame (the refimg for window 0) — so reconstruction
+        errors compound across windows, which is exactly what the
+        reference's long-video mechanism exists to measure.
+
+        Parity notes (cited against ``model/pipeline.py``):
+          * frames are read consecutively — no fps resampling (``:511``) —
+            up to ``max_frames`` + 1 (the reference's
+            ``max_infer_length = 256``, ``:474,510``).
+          * ``mask_ratio`` masks motion-encoder tokens, the dual model's
+            single knob (``:562``); mapped to both camera/object ratios on
+            ``AMDModelNew``, whose reference sample has no single-knob
+            form. ``0.0`` is treated as off, matching the effect of the
+            reference default.
+          * ``drop_prev_img`` zeroes the reference frame (``:558``). The
+            reference's ``drop_ref_img`` flag is accepted there but never
+            read (``:495``), so it is not reproduced.
+          * the ragged tail re-runs the final W frames; the overlap
+            REPLACES the earlier predictions (the convention of
+            ``ImageAudio2VideoPipeline``), where the reference appends the
+            whole overlapped window (``:595``) and so returns more frames
+            than the input clip has — a divergence from its own documented
+            ``N,T+1`` contract that we treat as a bug.
+          * with ``use_grey``, window 0's grey reference is the GREY
+            refimg latent; the reference reuses the color refimg there
+            (``:554``), which we likewise treat as a bug. Later windows
+            use the grey GT frame before the window start (``:554``),
+            reproduced exactly.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if not mask_ratio:
+            mask_ratio = None
+        w = self.window
+        total, _ = vio.video_metadata(video_path)
+        n_frames = min(total, max_frames + 1)
+        frames = vio.read_video_frames(video_path, np.arange(n_frames))
+        pixels = vio.pixel_transform(frames, self.sample_size)
+        z = vae_mod.vae_encode_jit(self.vae, self.vae_params,
+                                   jnp.asarray(pixels)[None])
+        ref_z, gt_z = z[:, :1], z[:, 1:]
+        grey_ref = grey_gt = None
+        if self.use_grey:
+            grey = vio.pixel_transform(vio.to_grayscale(frames),
+                                       self.sample_size)
+            gz = vae_mod.vae_encode_jit(self.vae, self.vae_params,
+                                        jnp.asarray(grey)[None])
+            grey_ref, grey_gt = gz[:, :1], gz[:, 1:]
+
+        t = gt_z.shape[1]
+        if t < w:
+            raise ValueError(
+                f"sample_long needs at least window+1={w + 1} frames; the "
+                f"clip has {t + 1} (use sample() for single short clips)")
+        num_windows = t // w
+        offset = t % w
+
+        def _window(s, e, prev, grey_prev, k):
+            return _long_recon_window(
+                self.amd_model, self.amd_params, gt_z[:, s:e], prev,
+                None if grey_gt is None else grey_gt[:, s:e], grey_prev, k,
+                sample_step=video_sample_step, mask_ratio=mask_ratio,
+                use_grey=self.use_grey, drop_prev_img=drop_prev_img,
+                solver=solver)
+
+        pre_video = None
+        for i in range(num_windows):
+            key, kwin = jax.random.split(key)
+            s, e = i * w, (i + 1) * w
+            prev = ref_z[:, 0] if pre_video is None else pre_video[:, -1]
+            grey_prev = None
+            if self.use_grey:
+                grey_prev = grey_ref[:, 0] if i == 0 else grey_gt[:, s - 1]
+            video_pre = _window(s, e, prev, grey_prev, kwin)
+            pre_video = video_pre if pre_video is None else jnp.concatenate(
+                [pre_video, video_pre], axis=1)
+
+        if offset > 0:
+            key, kwin = jax.random.split(key)
+            e = t
+            s = e - w
+            prev = ref_z[:, 0] if pre_video is None else pre_video[:, -1]
+            grey_prev = None
+            if self.use_grey:
+                grey_prev = grey_ref[:, 0] if s == 0 else grey_gt[:, s - 1]
+            video_pre = _window(s, e, prev, grey_prev, kwin)
+            pre_video = (video_pre if pre_video is None else
+                         jnp.concatenate([pre_video[:, :s], video_pre],
+                                         axis=1))
+
+        result = jnp.concatenate([ref_z, pre_video], axis=1)
+        out = np.asarray(vae_mod.vae_decode_rgb_jit(
+            self.vae, self.vae_params, result)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -306,7 +447,16 @@ class ImageAudio2VideoPipeline:
 
     def __init__(self, vae, vae_params, amd_model, amd_params, a2m_model,
                  a2m_params, window: int = 16, a2m_ref_num_frame: int = 8,
-                 sample_size: int = 256):
+                 sample_size: int = 256,
+                 need_motion_extract_model: bool = False):
+        """``need_motion_extract_model``: re-extract each window's reference
+        motion from the previous window's *generated video latents* instead
+        of chaining the predicted motion tokens — the knob of the
+        reference's legacy A2V pipelines (``A2VPipeLine:72,140-147``,
+        ``A2VInferencePipeLine:1056-1060``; their forwards are uncallable
+        as written — see PARITY.md — so this implements the declared
+        intent). Trades an extra motion-encoder call per window for
+        grounding the motion chain in the decoded video."""
         self.vae = vae
         self.vae_params = vae_params
         self.amd_model = amd_model
@@ -316,6 +466,7 @@ class ImageAudio2VideoPipeline:
         self.window = window
         self.ref_frames = a2m_ref_num_frame
         self.sample_size = sample_size
+        self.need_motion_extract_model = need_motion_extract_model
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:
@@ -356,7 +507,11 @@ class ImageAudio2VideoPipeline:
                     self.amd_model, self.amd_params, ref_z)
                 cur_ref_audio = self._pad_ref(ref_audio)
             else:
-                ref_motion = pre_motion[:, -r:]
+                if self.need_motion_extract_model:
+                    ref_motion = amd_mod.extract_motion_jit(
+                        self.amd_model, self.amd_params, pre_video[:, -r:])
+                else:
+                    ref_motion = pre_motion[:, -r:]
                 cur_ref_audio = audio[:, s - r:s]
 
             m2v_ref = random_ref if i == 0 else pre_video[:, -1]
@@ -375,7 +530,11 @@ class ImageAudio2VideoPipeline:
             key, km, kv = jax.random.split(key, 3)
             e = total
             s = e - w
-            ref_motion = pre_motion[:, s - r:s]
+            if self.need_motion_extract_model:
+                ref_motion = amd_mod.extract_motion_jit(
+                    self.amd_model, self.amd_params, pre_video[:, s - r:s])
+            else:
+                ref_motion = pre_motion[:, s - r:s]
             motion_pre, video_pre = _a2v_window(
                 self.amd_model, self.a2m_model, self.amd_params,
                 self.a2m_params, ref_motion, audio[:, s:e],

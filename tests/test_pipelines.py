@@ -113,6 +113,72 @@ class TestReconstructionPipeline:
 
 
 @pytest.mark.slow
+class TestLongReconstruction:
+    """The windowed autoregressive long-video form (reference
+    ``AMDPipeLine.sample``, pipeline.py:488-604)."""
+
+    @pytest.fixture(scope="class")
+    def long_video(self, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("lv") / "long.mp4")
+        rng = np.random.RandomState(7)
+        # 2 full windows + a 2-frame ragged tail (+1 refimg frame)
+        frames = rng.randint(0, 255, (2 * W + 2 + 1, SIZE, SIZE, 3),
+                             dtype=np.uint8)
+        vio.write_video(path, frames, fps=8)
+        return path
+
+    def test_windows_and_tail(self, tiny_stack, long_video, tmp_path):
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        out_path = str(tmp_path / "long_recon.mp4")
+        out = pipe.sample_long(long_video, out_path, video_sample_step=2)
+        # output length equals the input clip length (tail overlap
+        # replaces, it does not append — see sample_long docstring)
+        assert out.shape == (2 * W + 2 + 1, 3, SIZE, SIZE)
+        assert out.dtype == np.uint8
+        assert os.path.exists(out_path)
+
+    def test_max_frames_cap(self, tiny_stack, long_video):
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        out = pipe.sample_long(long_video, video_sample_step=2,
+                               max_frames=W)
+        assert out.shape[0] == W + 1
+
+    def test_knobs_change_output(self, tiny_stack, long_video):
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        base = pipe.sample_long(long_video, video_sample_step=2,
+                                max_frames=W)
+        masked = pipe.sample_long(long_video, video_sample_step=2,
+                                  max_frames=W, mask_ratio=0.5)
+        dropped = pipe.sample_long(long_video, video_sample_step=2,
+                                   max_frames=W, drop_prev_img=True)
+        assert not np.array_equal(masked, base)
+        assert not np.array_equal(dropped, base)
+        # ratio 0.0 is "off" (the reference default's effect)
+        off = pipe.sample_long(long_video, video_sample_step=2,
+                               max_frames=W, mask_ratio=0.0)
+        assert np.array_equal(off, base)
+
+    def test_too_short_raises(self, tiny_stack, tmp_path):
+        path = str(tmp_path / "short.mp4")
+        frames = np.zeros((W - 1, SIZE, SIZE, 3), dtype=np.uint8)
+        vio.write_video(path, frames, fps=8)
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, sample_size=SIZE)
+        with pytest.raises(ValueError, match="window"):
+            pipe.sample_long(path, video_sample_step=2)
+
+
+@pytest.mark.slow
 class TestGTMotionAblation:
     def test_windowed_reconstruction(self, tiny_stack, tmp_path):
         from hivae_tpu.pipelines import GTMotionAblationPipeline
@@ -180,6 +246,29 @@ class TestImageAudio2Video:
         out = pipe.predict(ref_img, ref_audio, audio, motion_sample_step=2,
                            video_sample_step=2)
         assert out.shape == (1, 2 * W + 2 + 1, 4, LAT, LAT)
+
+    def test_need_motion_extract_model(self, tiny_stack):
+        """The legacy pipelines' knob (ref A2VPipeLine:72,140-147): chain
+        windows on motion re-extracted from the generated video rather than
+        the predicted motion tokens — must change windows past the first."""
+        mk = lambda flag: ImageAudio2VideoPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], tiny_stack["a2m"],
+            tiny_stack["a2m_params"], window=W, a2m_ref_num_frame=2,
+            sample_size=SIZE, need_motion_extract_model=flag)
+        ref_img = jnp.zeros((1, 1, 3, SIZE, SIZE))
+        ref_audio = jnp.zeros((1, 1, 3, 8))
+        audio = jax.random.normal(KEY, (1, 2 * W, 3, 8))
+        base = mk(False).predict(ref_img, ref_audio, audio,
+                                 motion_sample_step=2, video_sample_step=2)
+        reex = mk(True).predict(ref_img, ref_audio, audio,
+                                motion_sample_step=2, video_sample_step=2)
+        assert base.shape == reex.shape == (1, 2 * W + 1, 4, LAT, LAT)
+        # window 0 has no previous video: identical by construction
+        np.testing.assert_allclose(np.asarray(base[:, :W + 1]),
+                                   np.asarray(reex[:, :W + 1]), atol=1e-5)
+        assert not np.array_equal(np.asarray(base[:, W + 1:]),
+                                  np.asarray(reex[:, W + 1:]))
 
     @pytest.mark.slow
     def test_long_audio_generates_full_length(self, tiny_stack):
