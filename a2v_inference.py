@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8: run the AMD DiT Euler loop's large "
+                        "projections on the int8 MXU (ops/quant.py)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -129,7 +132,7 @@ def main():
     pipe = ImageAudio2VideoPipeline(
         vae, vae_params, amd_model, amd_params, a2m_model, a2m_params,
         window=args.window, a2m_ref_num_frame=args.a2m_ref_num_frame,
-        sample_size=args.sample_size)
+        sample_size=args.sample_size, quant=args.quant)
 
     audio_emb = np.load(args.audio_emb)
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)

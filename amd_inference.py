@@ -41,6 +41,10 @@ def parse_args():
                    help="long mode: motion-token mask ratio knob")
     p.add_argument("--drop_prev_img", action="store_true",
                    help="long mode: zero the chained reference frame")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8: run the DiT Euler loop's large projections "
+                        "on the int8 MXU (~1.8x the bf16 matmul rate; "
+                        "hivae_tpu/ops/quant.py)")
     return p.parse_args()
 
 
@@ -54,6 +58,13 @@ def load_amd(args, dtype):
     with open(args.amd_config) as f:
         cfg = amd.AMDConfig.from_dict(json.load(f))
     cfg = cfg.replace(video_frames=args.video_frames)
+    was_scanned = getattr(cfg, "scan_layers", False)
+    if getattr(args, "quant", None) and was_scanned:
+        # the int8 interceptor addresses Denses by module path; nn.scan's
+        # stacked layout slices one shared path per iteration, so quantized
+        # serving uses the unrolled layout (params converted below)
+        cfg = cfg.replace(scan_layers=False)
+        print("quant: using the unrolled layer layout (scan_layers=False)")
     cls = amd.AMDModelNew if args.model_type == "AMD_N" else amd.AMDModel
     model = cls(cfg=cfg, dtype=dtype)
 
@@ -91,6 +102,10 @@ def load_amd(args, dtype):
             restored, "get") else restored
         if "params" not in params:
             params = {"params": params}
+        if getattr(args, "quant", None) and was_scanned:
+            from hivae_tpu.ops.quant import unstack_scanned
+            params = {"params": unstack_scanned(
+                params["params"], cfg.diffusion_num_layers)}
 
     # honor the config's attention impl at inference too (ring needs a mesh
     # installed here — it is not trainer-only state; round-2 VERDICT Weak
@@ -131,7 +146,7 @@ def main():
 
     pipe = AMDReconstructionPipeline(
         vae, vae_params, model, params, window=args.video_frames,
-        use_grey=getattr(model.cfg, "use_grey", False))
+        use_grey=getattr(model.cfg, "use_grey", False), quant=args.quant)
 
     os.makedirs(args.output_dir, exist_ok=True)
     videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),

@@ -1,0 +1,129 @@
+"""Int8 (w8a8) serving-path benchmark: flagship DiT velocity forward and
+the full Euler sampler, bf16 vs quantized, on the real chip.
+
+Same differenced-scan method as bench_components.py (two scan lengths,
+min-of-3, slope) so the relay's per-program transport floor cancels. The
+weights are zeros (timing does not depend on values; weights stay traced
+program arguments so XLA cannot fold them).
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(x):
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(jnp.ravel(leaf)[:4].astype(jnp.float32)))
+
+
+def bench(fn, args, iters):
+    def make_loop(n):
+        @jax.jit
+        def loop(first, *rest):
+            def body(x, _):
+                out = fn(x, *rest)
+                leaf = jax.tree.leaves(out)[0]
+                delta = jnp.ravel(leaf)[0].astype(x.dtype)
+                return x + delta * 1e-20, None
+            x, _ = jax.lax.scan(body, first, None, length=n)
+            return x
+        return loop
+
+    def timed(loop):
+        sync(loop(*args))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(loop(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(make_loop(iters))
+    t2 = timed(make_loop(5 * iters))
+    return (t2 - t1) / (4 * iters)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--sample_step", type=int, default=10)
+    args = p.parse_args()
+
+    from hivae_tpu.models import amd
+    from hivae_tpu.ops import quant
+    from hivae_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    dtype = jnp.bfloat16
+    model = amd.AMD_N(dtype=dtype, use_filter=True, use_grey=True,
+                      video_frames=args.frames,
+                      camera_motion_token_num=args.frames,
+                      camera_motion_token_channel=16,
+                      object_motion_token_num=4,
+                      object_motion_token_channel=512,
+                      motion_token_num=4, motion_token_channel=512,
+                      diffusion_model_type="spatial")
+
+    key = jax.random.PRNGKey(0)
+    shape = (args.batch, args.frames, 4, 32, 32)
+    video = jax.random.normal(key, shape)
+    ref = jnp.broadcast_to(video[:, :1], shape)
+
+    shapes = jax.eval_shape(lambda: model.init(
+        {"params": key, "noise": key}, video, ref, video, ref))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    table = jax.jit(quant.quantize_params)(params)
+    n_q = len(table)
+    q_bytes = sum(int(e["w8"].size) for e in table.values())
+    print(f"quantized layers: {n_q}  int8 weight bytes: {q_bytes/1e6:.0f} MB")
+
+    n, t = args.batch, args.frames
+    enc = jax.jit(lambda v, r: model.apply(params, v, r, v, r,
+                                           method="encode"))(video, ref)
+    cam_t, obj_s, obj_t = enc[:3]
+    zi = ref.reshape((n * t,) + ref.shape[2:])
+    zt = video.reshape((n * t,) + video.shape[2:])
+    img = jnp.concatenate([zi, zt], axis=1)
+    tstep = jnp.full((n * t,), 500.0)
+
+    def vel(img, ts, c, s, o):
+        return model.apply(params, img, ts, camera_target=c, object_source=s,
+                           object_target=o, method="velocity")
+
+    def vel_q(img, ts, c, s, o):
+        with quant.quantized_calls(table):
+            return model.apply(params, img, ts, camera_target=c,
+                               object_source=s, object_target=o,
+                               method="velocity")
+
+    a = (img, tstep, cam_t, obj_s, obj_t)
+    t_bf = bench(vel, a, args.iters)
+    print(f"DiT velocity fwd  bf16: {t_bf*1e3:8.2f} ms")
+    t_q = bench(vel_q, a, args.iters)
+    print(f"DiT velocity fwd  int8: {t_q*1e3:8.2f} ms   "
+          f"speedup {t_bf/t_q:.2f}x")
+
+    def sampler(video, ref, quant_table):
+        _, out, _ = amd.sample(model, params, jax.random.PRNGKey(1), video,
+                               ref, video_grey=video, ref_img_grey=ref,
+                               sample_step=args.sample_step,
+                               quant_table=quant_table)
+        return out
+
+    t_bf = bench(lambda v, r: sampler(v, r, None), (video, ref), 2)
+    fps = args.batch * args.frames / t_bf
+    print(f"sampler ({args.sample_step} Euler)  bf16: {t_bf*1e3:8.1f} ms  "
+          f"{fps:6.1f} f/s")
+    t_q = bench(lambda v, r: sampler(v, r, table), (video, ref), 2)
+    fps_q = args.batch * args.frames / t_q
+    print(f"sampler ({args.sample_step} Euler)  int8: {t_q*1e3:8.1f} ms  "
+          f"{fps_q:6.1f} f/s   speedup {t_bf/t_q:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import frequency
+from ..ops import quant
 from ..ops import rectified_flow as rf
 from ..ops.regularizers import diagonal_gaussian_regularize
 from .dit import (VelocityDiT, VelocityDiTDualStream, VelocityDiTImgSpatial,
@@ -759,7 +760,8 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
            video_grey=None, ref_img_grey=None, sample_step: int = 50,
            start_step: Optional[int] = None, camera_mask_ratio=None,
            object_mask_ratio=None, camera_mask=None,
-           solver: str = "euler") -> Tuple[jax.Array, jax.Array, jax.Array]:
+           solver: str = "euler",
+           quant_table=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Video reconstruction: extract motion from ``video`` then Euler-decode
     from noise (reference ``AMDModel_New.sample:2020-2195``).
 
@@ -798,7 +800,7 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
     zj = video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=zj, solver=solver)
+                       z1=zj, solver=solver, quant_table=quant_table)
 
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
@@ -807,7 +809,7 @@ def sample(model: nn.Module, params, key: jax.Array, video, ref_img,
 def decode(model: nn.Module, params, key: jax.Array, ref_img,
            motions: Dict[str, jax.Array], frames: int,
            sample_step: int = 50, start_step: Optional[int] = None,
-           video=None, solver: str = "euler"):
+           video=None, solver: str = "euler", quant_table=None):
     """Decode video latents from a reference frame + motion tokens
     (reference ``AMDModel_New.decode:2464-2536``). ref_img: (N,T,C,H,W).
 
@@ -822,13 +824,14 @@ def decode(model: nn.Module, params, key: jax.Array, ref_img,
     z1 = None if video is None else video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(key, zi.shape, zi.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=z1, solver=solver)
+                       z1=z1, solver=solver, quant_table=quant_table)
     return zt.reshape((n, t) + zt.shape[1:])
 
 
 def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
                               motion, sample_step: int = 10,
-                              solver: str = "euler", mask_ratio=None):
+                              solver: str = "euler", mask_ratio=None,
+                              quant_table=None):
     """Image + motion tokens -> video latents (reference
     ``AMDModel.sample_with_refimg_motion:760-839``): source motion extracted
     from the single reference frame, provided tokens as target.
@@ -866,7 +869,8 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
         (n * t,) + ref_img.shape[1:])
     z0 = jax.random.normal(key, zi.shape, zi.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step,
-                       cfg.scheduler_num_step, solver=solver)
+                       cfg.scheduler_num_step, solver=solver,
+                       quant_table=quant_table)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt)
 
@@ -875,7 +879,7 @@ def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
                  video_grey_1=None, video_grey_2=None, ref_img_grey=None,
                  sample_step: int = 50, start_step: Optional[int] = None,
                  camera_mask_ratio=None, object_mask_ratio=None,
-                 solver: str = "euler"):
+                 solver: str = "euler", quant_table=None):
     """Cross-video motion transfer (reference
     ``AMDModel_New.sample_cross:2198-2375``): camera motion from video_1,
     object motion + appearance from video_2.
@@ -907,7 +911,7 @@ def sample_cross(model, params, key: jax.Array, video_1, video_2, ref_img,
     zj = video_2.reshape((n * t,) + video_2.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=zj, solver=solver)
+                       z1=zj, solver=solver, quant_table=quant_table)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
 
@@ -916,7 +920,8 @@ def sample_diff_motion(model, params, key: jax.Array, video, ref_img,
                        video_grey=None, ref_img_grey=None,
                        camera_video_grey=None, sample_step: int = 50,
                        start_step: Optional[int] = None,
-                       mask_ratio=None, solver: str = "euler"):
+                       mask_ratio=None, solver: str = "euler",
+                       quant_table=None):
     """Reconstruct ``video`` but drive the camera/LF stream with motion from
     a different clip (reference ``AMDModel.sample_diff_motion:598-757``).
 
@@ -937,18 +942,22 @@ def sample_diff_motion(model, params, key: jax.Array, video, ref_img,
     zj = video.reshape((n * t,) + video.shape[2:])
     z0 = jax.random.normal(knoise, zj.shape, zj.dtype)
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
-                       z1=zj, solver=solver)
+                       z1=zj, solver=solver, quant_table=quant_table)
     unflat = lambda x: x.reshape((n, t) + x.shape[1:])
     return unflat(zi), unflat(zt), unflat(zj)
 
 
 def _euler_decode(model, params, zi, z0, motions, sample_step, start_step,
-                  z1=None, solver: str = "euler"):
+                  z1=None, solver: str = "euler", quant_table=None):
     """ODE-walk the DiT from ``start_step`` down. When ``start_step`` is
     below the scheduler's full range, the walk starts from the partially
     noised target (reference seeds with ``get_train_tuple(z1=zj,
     start_step)``), which requires ``z1``. ``solver``: 'euler' (reference
-    parity) or 'heun' (2nd-order; ~half the steps at matched accuracy)."""
+    parity) or 'heun' (2nd-order; ~half the steps at matched accuracy).
+
+    ``quant_table`` (``ops/quant.py::quantize_params``) runs the DiT's big
+    projections on the int8 MXU — serving-only; the one-shot motion
+    encoding stays in the compute dtype."""
     num_steps = model.cfg.scheduler_num_step
     step_seq = rf.sample_step_sequence(sample_step, start_step, num_steps)
     z_start = rf.euler_start(z0, z1, start_step, num_steps)
@@ -959,6 +968,9 @@ def _euler_decode(model, params, zi, z0, motions, sample_step, start_step,
                            **motions)
 
     integrate = rf.heun_sample if solver == "heun" else rf.euler_sample
+    if quant_table:
+        with quant.quantized_calls(quant_table):
+            return integrate(vel_fn, z_start, step_seq)
     return integrate(vel_fn, z_start, step_seq)
 
 

@@ -1,0 +1,208 @@
+"""Int8 quantized serving path (w8a8) for the DiT sampler.
+
+No reference counterpart — the reference serves eager fp16 torch
+(``model/pipeline.py``); this is a TPU-native capability. The v5e MXU runs
+int8 x int8 -> int32 at ~2x its bf16 rate (measured on this stack:
+338.7 vs 189.1 TFLOP/s effective on a 4096^3 matmul, dynamic activation
+quantization included), so the compute-bound DiT Euler loop gains serving
+throughput for free in quality terms. Measured end-to-end on the flagship
+696M AMD_N (real chip, ``benchmarks/bench_quant.py``): 1.15x on the DiT
+velocity forward and on the full 10-step Euler sampler (45.8 vs 39.9 f/s)
+— the gap to the raw 1.8x matmul rate is the unquantized share (attention
+itself, norms, AdaLN modulation) plus the per-token activation-quant pass.
+
+Scheme (the standard w8a8 recipe for DiT-family models):
+
+* **Weights**: per-output-channel symmetric int8, quantized once offline
+  (:func:`quantize_params`). The bias rides along unquantized so a serving
+  process can drop the bf16/fp32 kernels entirely
+  (:func:`strip_quantized`) — a 4x weight-memory cut for the quantized
+  layers.
+* **Activations**: dynamic per-token symmetric int8, computed inside the
+  program (one abs-max + scale per token — VPU work that XLA fuses into
+  the surrounding elementwise ops).
+* **Coverage**: only the large projections quantize by default — attention
+  q/k/v/out, the FFN pair, motion-token embeds (``min(kernel dims) >=
+  512``). AdaLN modulation layers (named ``linear``), the timestep MLP
+  (``linear_1/2``) and the patch embed / output head (``proj`` /
+  small dims) stay in the compute dtype: modulation scales multiply whole
+  streams and the small layers are a rounding error in FLOPs — the usual
+  accuracy/coverage trade for diffusion transformers.
+
+Integration is a Flax method interceptor (:func:`quantized_calls`): the
+model definition is untouched; during an intercepted ``apply``, any
+``nn.Dense`` whose path is in the table runs the int8 kernel instead. The
+samplers in :mod:`hivae_tpu.models.amd` accept ``quant_table=`` and wrap
+only the Euler-loop DiT applies — motion encoding runs once per clip and
+stays in the compute dtype.
+
+``nn.scan``-stacked layers (``scan_layers=True``) carry 3-D kernels the
+predicate skips; unstack such checkpoints first (:func:`unstack_scanned`)
+— the inference CLIs do this automatically under ``--quant int8``.
+"""
+
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_params", "quantized_calls", "quant_dense",
+           "strip_quantized", "unstack_scanned", "default_predicate"]
+
+# Dense names never quantized regardless of size: AdaLN modulation
+# ("linear"), timestep-embedding MLP ("linear_1/2").
+_SKIP_NAMES = ("linear", "linear_1", "linear_2")
+
+
+def default_predicate(path: Tuple[str, ...], kernel: jax.Array,
+                      min_dim: int = 512) -> bool:
+    """Quantize 2-D kernels with both dims >= ``min_dim`` whose Dense is not
+    a modulation/timestep layer."""
+    return (kernel.ndim == 2 and min(kernel.shape) >= min_dim
+            and path[-1] not in _SKIP_NAMES)
+
+
+def _quantize_kernel(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(K, N) -> per-output-channel symmetric int8 + fp32 scale (N,)."""
+    k32 = jnp.asarray(kernel, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=0), 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    return w8, scale
+
+
+def _walk(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def quantize_params(params, predicate: Optional[Callable] = None,
+                    scope: Optional[Tuple[str, ...]] = (
+                        "diffusion_transformer",)) -> Dict[str, Dict]:
+    """Build a quantization table from a Flax param tree.
+
+    Returns ``{"a/b/to_q": {"w8", "scale"[, "bias"]}}`` keyed by the
+    module path (``"/"``-joined ``Module.path``, i.e. the param-tree path
+    without the ``"params"`` root and the ``kernel`` leaf). ``scope``
+    restricts quantization to one submodule (default: the DiT — the only
+    stack the samplers run per Euler step); pass ``None`` for the whole
+    tree.
+    """
+    pred = predicate or default_predicate
+    tree = params.get("params", params) if isinstance(params, dict) else params
+    table: Dict[str, Dict] = {}
+    for path, leaf in _walk(tree):
+        if path[-1] != "kernel":
+            continue
+        mod_path = path[:-1]
+        if scope is not None and mod_path[:len(scope)] != tuple(scope):
+            continue
+        if not pred(mod_path, leaf):
+            continue
+        w8, scale = _quantize_kernel(leaf)
+        entry = {"w8": w8, "scale": scale}
+        # carry the bias so serving can strip the bf16 kernel AND never
+        # read the module's own params
+        parent = tree
+        for k in mod_path:
+            parent = parent[k]
+        if "bias" in parent:
+            entry["bias"] = parent["bias"]
+        table["/".join(mod_path)] = entry
+    if not table:
+        raise ValueError(
+            "quantize_params matched no kernels — wrong scope, a "
+            "scan_layers-stacked tree (unstack_scanned first), or dims "
+            "below the predicate's threshold")
+    return table
+
+
+def quant_dense(x: jax.Array, w8: jax.Array, scale: jax.Array,
+                bias: Optional[jax.Array] = None,
+                out_dtype=None) -> jax.Array:
+    """y = dequant(quant(x) @ w8) + bias — the int8-MXU dense.
+
+    ``x``: (..., K) any float dtype; ``w8``: (K, N) int8; ``scale``: (N,)
+    fp32 per-output-channel weight scale. Activations are quantized
+    per-token (symmetric, dynamic).
+    """
+    xf = jnp.asarray(x, jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, w8, (((xf.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def quantized_calls(quant_table: Dict[str, Dict]):
+    """Context manager: inside, any ``nn.Dense`` whose module path is in
+    ``quant_table`` runs :func:`quant_dense` instead of its bf16 matmul.
+    Active at trace time — wrap the ``model.apply`` (or the jitted region)
+    whose Denses should quantize."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if isinstance(m, nn.Dense) and context.method_name == "__call__":
+            entry = quant_table.get("/".join(m.path))
+            if entry is not None:
+                return quant_dense(args[0], entry["w8"], entry["scale"],
+                                   entry.get("bias"),
+                                   out_dtype=m.dtype or args[0].dtype)
+        return next_fn(*args, **kwargs)
+
+    return nn.intercept_methods(interceptor)
+
+
+def strip_quantized(params, quant_table: Dict[str, Dict]):
+    """Drop the float kernels of quantized layers from the param tree (the
+    interceptor never reads them): the serving tree carries int8 + scales
+    in the table and bf16/fp32 for everything else."""
+    quantized = {tuple(k.split("/")) for k in quant_table}
+
+    def prune(tree, path=()):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if k == "kernel" and path in quantized:
+                continue
+            out[k] = prune(v, p)
+        return out
+
+    if isinstance(params, dict) and "params" in params:
+        return {**params, "params": prune(params["params"])}
+    return prune(params)
+
+
+def unstack_scanned(params, num_layers: int, stacked_name: str = "layers"):
+    """Convert an ``nn.scan``-stacked DiT param subtree to the unrolled
+    layout so a ``scan_layers=False`` model can load (and quantize) it.
+
+    The scanned layout keeps one ``layers`` module whose children
+    (``object_block`` / ``camera_block`` / ``spatial_block``) carry a
+    leading layer axis; the unrolled layout names them
+    ``{child}s_{i}`` at the DiT level (``models/dit.py:397-429``).
+    """
+
+    def split(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == stacked_name and isinstance(v, dict):
+                for child, sub in v.items():
+                    for i in range(num_layers):
+                        out[f"{child}s_{i}"] = jax.tree_util.tree_map(
+                            lambda leaf, i=i: leaf[i], sub)
+            else:
+                out[k] = split(v)
+        return out
+
+    return split(params)

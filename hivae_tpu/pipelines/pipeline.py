@@ -37,6 +37,7 @@ from ..data import video as vio
 from ..models import a2m as a2m_mod
 from ..models import amd as amd_mod
 from ..models import vae as vae_mod
+from ..ops import quant as quant_ops
 
 
 from functools import partial
@@ -47,7 +48,7 @@ from functools import partial
                           "object_mask_ratio", "use_grey", "solver"))
 def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
                 sample_step, camera_mask_ratio=None, object_mask_ratio=None,
-                use_grey=False, solver="euler"):
+                use_grey=False, solver="euler", quant_table=None):
     """Whole-clip reconstruction as ONE program: encode -> split ref/target
     -> motion sample -> decode -> uint8. A single dispatch per clip matters:
     per-op eager dispatch costs seconds on relayed runtimes and forfeits
@@ -64,7 +65,8 @@ def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
     _, video_pre, _ = amd_mod.sample(
         amd_model, amd_params, key, gt_video_z, ref,
         sample_step=sample_step, camera_mask_ratio=camera_mask_ratio,
-        object_mask_ratio=object_mask_ratio, solver=solver, **grey_kw)
+        object_mask_ratio=object_mask_ratio, solver=solver,
+        quant_table=quant_table, **grey_kw)
     result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
     return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
 
@@ -72,7 +74,7 @@ def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("sample_step", "use_grey"))
 def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
-                grey2, key, sample_step, use_grey=False):
+                grey2, key, sample_step, use_grey=False, quant_table=None):
     """Cross-video motion transfer as ONE program (motion from clip 1,
     appearance from clip 2) — same single-dispatch rationale as
     ``_recon_clip``."""
@@ -87,7 +89,7 @@ def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
                       g2[:1][None][:, :1], g2[1:][None].shape))
     _, video_pre, _ = amd_mod.sample_cross(
         amd_model, amd_params, key, z1[1:][None], z2[1:][None], ref,
-        sample_step=sample_step, **kw)
+        sample_step=sample_step, quant_table=quant_table, **kw)
     result = jnp.concatenate([z2[:1][None], video_pre], axis=1)
     return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
 
@@ -95,7 +97,8 @@ def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("sample_step", "use_grey"))
 def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
-                      camera_pixels, key, sample_step, use_grey=False):
+                      camera_pixels, key, sample_step, use_grey=False,
+                      quant_table=None):
     """Reconstruction with the camera/LF motion taken from a different clip
     (reference ``AMDModel.sample_diff_motion``) as ONE program. AMDModel
     (dual-encoder) only."""
@@ -109,7 +112,8 @@ def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
         amd_model, amd_params, key, gt, ref,
         video_grey=gz[1:][None],
         ref_img_grey=jnp.broadcast_to(gz[:1][None], gt.shape),
-        camera_video_grey=cam_gz[1:][None], sample_step=sample_step)
+        camera_video_grey=cam_gz[1:][None], sample_step=sample_step,
+        quant_table=quant_table)
     result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
     return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
 
@@ -117,7 +121,8 @@ def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("motion_steps", "video_steps"))
 def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
-                audio, ref_audio, m2v_ref, km, kv, motion_steps, video_steps):
+                audio, ref_audio, m2v_ref, km, kv, motion_steps, video_steps,
+                quant_table=None):
     """One audio->video window (A2M motion sample + refimg-motion decode)
     as one program — one dispatch per window in the autoregressive loop."""
     motion_pre = a2m_mod.sample(
@@ -126,7 +131,7 @@ def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
         ref_audio=ref_audio[:, -1])
     _, video_pre = amd_mod.sample_with_refimg_motion(
         amd_model, amd_params, kv, m2v_ref, motion_pre,
-        sample_step=video_steps)
+        sample_step=video_steps, quant_table=quant_table)
     return motion_pre, video_pre
 
 
@@ -135,7 +140,8 @@ def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
                           "drop_prev_img", "solver"))
 def _long_recon_window(amd_model, amd_params, cur_gt, prev_img, grey_cur_gt,
                        grey_prev_img, key, sample_step, mask_ratio=None,
-                       use_grey=False, drop_prev_img=False, solver="euler"):
+                       use_grey=False, drop_prev_img=False, solver="euler",
+                       quant_table=None):
     """One W-frame window of the autoregressive long-video reconstruction
     (reference ``AMDPipeLine.sample`` inner loop, ``pipeline.py:545-595``)
     as ONE program — compiled once and reused for every window including
@@ -158,14 +164,16 @@ def _long_recon_window(amd_model, amd_params, cur_gt, prev_img, grey_cur_gt,
         ratios = dict(camera_mask_ratio=mask_ratio)
     _, video_pre, _ = amd_mod.sample(
         amd_model, amd_params, key, cur_gt, ref,
-        sample_step=sample_step, solver=solver, **ratios, **kw)
+        sample_step=sample_step, solver=solver, quant_table=quant_table,
+        **ratios, **kw)
     return video_pre
 
 
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("sample_step", "mask_ratio"))
 def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
-                      m2v_ref, key, sample_step, mask_ratio=None):
+                      m2v_ref, key, sample_step, mask_ratio=None,
+                      quant_table=None):
     """One GT-motion ablation window (extract -> decode) as one program.
     ``mask_ratio`` masks the motion-token extraction (reference
     ``AMDTestPipeLine`` knob, ``pipeline.py:266,345``)."""
@@ -175,15 +183,30 @@ def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
                              method="extract_motion", **enc_rngs)
     return amd_mod.sample_with_refimg_motion(
         amd_model, amd_params, key, m2v_ref, motion,
-        sample_step=sample_step, mask_ratio=mask_ratio)[1]
+        sample_step=sample_step, mask_ratio=mask_ratio,
+        quant_table=quant_table)[1]
+
+
+def _build_quant_table(quant, amd_params):
+    """``quant='int8'`` -> w8a8 table for the DiT's big projections
+    (``ops/quant.py``); built as ONE jitted program (eager per-leaf quant
+    would be per-op dispatch on relayed runtimes)."""
+    if quant is None:
+        return None
+    if quant != "int8":
+        raise ValueError(f"unknown quant mode {quant!r}; use 'int8' or None")
+    return jax.jit(quant_ops.quantize_params)(amd_params)
 
 
 class AMDReconstructionPipeline:
-    """Single-window video reconstruction through the motion bottleneck."""
+    """Single-window video reconstruction through the motion bottleneck.
+
+    ``quant='int8'`` runs the DiT Euler loop's large projections on the
+    int8 MXU (~2x the bf16 matmul rate on v5e; see ``ops/quant.py``)."""
 
     def __init__(self, vae, vae_params, amd_model, amd_params,
                  window: int = 16, use_grey: bool = False,
-                 sample_size: int = 256):
+                 sample_size: int = 256, quant: Optional[str] = None):
         self.vae = vae
         self.vae_params = vae_params
         self.amd_model = amd_model
@@ -191,6 +214,7 @@ class AMDReconstructionPipeline:
         self.window = window
         self.use_grey = use_grey
         self.sample_size = sample_size
+        self.quant_table = _build_quant_table(quant, amd_params)
 
     def _load_clip(self, video_path: str, fps: int):
         total, video_fps = vio.video_metadata(video_path)
@@ -221,7 +245,7 @@ class AMDReconstructionPipeline:
             key, sample_step=video_sample_step,
             camera_mask_ratio=camera_mask_ratio,
             object_mask_ratio=object_mask_ratio, use_grey=self.use_grey,
-            solver=solver))
+            solver=solver, quant_table=self.quant_table))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -297,7 +321,7 @@ class AMDReconstructionPipeline:
                 None if grey_gt is None else grey_gt[:, s:e], grey_prev, k,
                 sample_step=video_sample_step, mask_ratio=mask_ratio,
                 use_grey=self.use_grey, drop_prev_img=drop_prev_img,
-                solver=solver)
+                solver=solver, quant_table=self.quant_table)
 
         pre_video = None
         for i in range(num_windows):
@@ -348,7 +372,8 @@ class AMDCrossVideoPipeline(AMDReconstructionPipeline):
             jnp.asarray(pix1), jnp.asarray(pix2),
             None if grey1 is None else jnp.asarray(grey1),
             None if grey2 is None else jnp.asarray(grey2), key,
-            sample_step=video_sample_step, use_grey=self.use_grey))
+            sample_step=video_sample_step, use_grey=self.use_grey,
+            quant_table=self.quant_table))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -374,7 +399,7 @@ class AMDDiffMotionPipeline(AMDReconstructionPipeline):
             jnp.asarray(pixels),
             jnp.asarray(grey if grey is not None else pixels),
             jnp.asarray(cam_grey), key, sample_step=video_sample_step,
-            use_grey=self.use_grey))
+            use_grey=self.use_grey, quant_table=self.quant_table))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -388,13 +413,15 @@ class GTMotionAblationPipeline:
     head."""
 
     def __init__(self, vae, vae_params, amd_model, amd_params,
-                 window: int = 16, sample_size: int = 256):
+                 window: int = 16, sample_size: int = 256,
+                 quant: Optional[str] = None):
         self.vae = vae
         self.vae_params = vae_params
         self.amd_model = amd_model
         self.amd_params = amd_params
         self.window = window
         self.sample_size = sample_size
+        self.quant_table = _build_quant_table(quant, amd_params)
 
     def reconstruct(self, video_path: str, output_path: Optional[str] = None,
                     num_windows: int = 2, video_sample_step: int = 10,
@@ -423,7 +450,7 @@ class GTMotionAblationPipeline:
             video_pre = _gt_motion_window(
                 self.vae, self.amd_model, self.vae_params, self.amd_params,
                 cur_gt, m2v_ref, kv, sample_step=video_sample_step,
-                mask_ratio=mask_ratio)
+                mask_ratio=mask_ratio, quant_table=self.quant_table)
             pre_video = video_pre if pre_video is None else jnp.concatenate(
                 [pre_video, video_pre], axis=1)
 
@@ -448,7 +475,8 @@ class ImageAudio2VideoPipeline:
     def __init__(self, vae, vae_params, amd_model, amd_params, a2m_model,
                  a2m_params, window: int = 16, a2m_ref_num_frame: int = 8,
                  sample_size: int = 256,
-                 need_motion_extract_model: bool = False):
+                 need_motion_extract_model: bool = False,
+                 quant: Optional[str] = None):
         """``need_motion_extract_model``: re-extract each window's reference
         motion from the previous window's *generated video latents* instead
         of chaining the predicted motion tokens — the knob of the
@@ -456,7 +484,11 @@ class ImageAudio2VideoPipeline:
         ``A2VInferencePipeLine:1056-1060``; their forwards are uncallable
         as written — see PARITY.md — so this implements the declared
         intent). Trades an extra motion-encoder call per window for
-        grounding the motion chain in the decoded video."""
+        grounding the motion chain in the decoded video.
+
+        ``quant='int8'``: run the AMD DiT's video-decoding Euler loop on
+        the int8 MXU (``ops/quant.py``); the A2M motion head (small, few
+        tokens) stays in the compute dtype."""
         self.vae = vae
         self.vae_params = vae_params
         self.amd_model = amd_model
@@ -467,6 +499,7 @@ class ImageAudio2VideoPipeline:
         self.ref_frames = a2m_ref_num_frame
         self.sample_size = sample_size
         self.need_motion_extract_model = need_motion_extract_model
+        self.quant_table = _build_quant_table(quant, amd_params)
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:
@@ -519,7 +552,7 @@ class ImageAudio2VideoPipeline:
                 self.amd_model, self.a2m_model, self.amd_params,
                 self.a2m_params, ref_motion, audio[:, s:e], cur_ref_audio,
                 m2v_ref, km, kv, motion_steps=motion_sample_step,
-                video_steps=video_sample_step)
+                video_steps=video_sample_step, quant_table=self.quant_table)
 
             pre_motion = motion_pre if pre_motion is None else jnp.concatenate(
                 [pre_motion, motion_pre], axis=1)
@@ -540,7 +573,7 @@ class ImageAudio2VideoPipeline:
                 self.a2m_params, ref_motion, audio[:, s:e],
                 audio[:, s - r:s], pre_video[:, s - 1], km, kv,
                 motion_steps=motion_sample_step,
-                video_steps=video_sample_step)
+                video_steps=video_sample_step, quant_table=self.quant_table)
             pre_motion = jnp.concatenate([pre_motion[:, :s], motion_pre], axis=1)
             pre_video = jnp.concatenate([pre_video[:, :s], video_pre], axis=1)
 

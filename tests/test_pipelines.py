@@ -103,6 +103,41 @@ class TestReconstructionPipeline:
         assert out.dtype == np.uint8
         assert os.path.exists(out_path)
 
+    def test_quant_int8(self, tiny_stack, video_file):
+        """quant='int8' builds a table over the tiny DiT and serves through
+        the fused program (a low threshold is monkeypatched in ops.quant
+        tests; here the production pipeline path must at least fail loudly
+        on a model too small to quantize)."""
+        import hivae_tpu.pipelines.pipeline as pl
+        with pytest.raises(Exception, match="no kernels"):
+            AMDReconstructionPipeline(
+                tiny_stack["vae"], tiny_stack["vae_params"],
+                tiny_stack["amd"], tiny_stack["amd_params"], window=W,
+                use_grey=True, sample_size=SIZE, quant="int8")
+        with pytest.raises(ValueError, match="unknown quant"):
+            pl._build_quant_table("fp4", tiny_stack["amd_params"])
+
+    def test_quant_table_through_fused_program(self, tiny_stack, video_file):
+        """A hand-built (low-threshold) table threads through _recon_clip
+        and changes the math only by quantization noise."""
+        from hivae_tpu.ops import quant as quant_ops
+        table = quant_ops.quantize_params(
+            tiny_stack["amd_params"],
+            predicate=lambda p, k: quant_ops.default_predicate(p, k, 8))
+        mk = lambda: AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE)
+        base_pipe, q_pipe = mk(), mk()
+        q_pipe.quant_table = table
+        base = base_pipe.sample(video_file, video_sample_step=2)
+        q = q_pipe.sample(video_file, video_sample_step=2)
+        assert q.shape == base.shape and q.dtype == np.uint8
+        assert not np.array_equal(q, base)
+        # uint8 frames: quantization shifts pixels only slightly
+        diff = np.abs(q.astype(np.int32) - base.astype(np.int32))
+        assert float(np.mean(diff)) < 16.0, float(np.mean(diff))
+
     def test_cross(self, tiny_stack, video_file):
         pipe = AMDCrossVideoPipeline(
             tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],

@@ -1,0 +1,175 @@
+"""Int8 w8a8 serving-path tests (``hivae_tpu/ops/quant.py``): kernel
+accuracy, table construction, interceptor wiring through the samplers,
+stripped-tree serving, and the scanned->unrolled param conversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hivae_tpu.models import amd as amd_mod
+from hivae_tpu.ops import quant
+
+KEY = jax.random.PRNGKey(0)
+LAT = 4
+W = 4
+
+
+def tiny_pred(path, kernel):
+    """The default predicate at a test-sized threshold."""
+    return quant.default_predicate(path, kernel, min_dim=8)
+
+
+@pytest.fixture(scope="module")
+def tiny_amd():
+    cfg = amd_mod.AMDConfig(
+        image_height=LAT, image_width=LAT, image_patch_size=1,
+        video_frames=W, use_filter=True, use_grey=True,
+        object_motion_token_num=2, object_motion_token_channel=16,
+        object_enc_num_layers=1, enc_nhead=2, enc_ndim=8,
+        camera_motion_token_num=W, camera_motion_token_channel=8,
+        camera_enc_num_layers=1, motion_token_num=2, motion_token_channel=16,
+        diffusion_model_type="spatial", diffusion_attn_head_dim=8,
+        diffusion_attn_num_heads=2, diffusion_num_layers=2)
+    model = amd_mod.AMDModelNew(cfg=cfg)
+    v = jnp.zeros((1, W, 4, LAT, LAT))
+    params = model.init({"params": KEY, "noise": KEY}, v, v, v, v)
+    return model, params
+
+
+class TestQuantDense:
+    def test_accuracy(self):
+        k1, k2 = jax.random.split(KEY)
+        x = jax.random.normal(k1, (64, 128))
+        w = jax.random.normal(k2, (128, 96)) / np.sqrt(128)
+        b = jnp.ones((96,)) * 0.1
+        w8, scale = quant._quantize_kernel(w)
+        y = quant.quant_dense(x, w8, scale, b)
+        ref = x @ w + b
+        rel = (jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert float(rel) < 0.02, float(rel)
+
+    def test_batched_input(self):
+        x = jax.random.normal(KEY, (2, 3, 5, 32))
+        w = jax.random.normal(KEY, (32, 16))
+        w8, scale = quant._quantize_kernel(w)
+        y = quant.quant_dense(x, w8, scale)
+        assert y.shape == (2, 3, 5, 16)
+        ref = x @ w
+        assert float(jnp.max(jnp.abs(y - ref))) < 0.1 * float(
+            jnp.max(jnp.abs(ref)))
+
+    def test_preserves_dtype(self):
+        x = jax.random.normal(KEY, (4, 32), jnp.bfloat16)
+        w = jax.random.normal(KEY, (32, 8))
+        w8, scale = quant._quantize_kernel(w)
+        assert quant.quant_dense(x, w8, scale).dtype == jnp.bfloat16
+
+
+class TestQuantizeParams:
+    def test_scopes_to_dit_and_skips_modulation(self, tiny_amd):
+        _, params = tiny_amd
+        table = quant.quantize_params(params, predicate=tiny_pred)
+        assert table, "no layers quantized"
+        for path in table:
+            parts = path.split("/")
+            assert parts[0] == "diffusion_transformer", path
+            assert parts[-1] not in ("linear", "linear_1", "linear_2"), path
+        # attention + FFN projections are covered
+        names = {p.split("/")[-1] for p in table}
+        assert {"to_q", "to_k", "to_v", "to_out"} <= names
+        assert {"net_0", "net_2"} <= names
+        # entries carry int8 weights, fp32 scales and the bias
+        e = next(iter(table.values()))
+        assert e["w8"].dtype == jnp.int8
+        assert e["scale"].dtype == jnp.float32
+        assert e["scale"].shape == (e["w8"].shape[1],)
+
+    def test_default_threshold_skips_small(self, tiny_amd):
+        """At the production threshold (512) the 16-wide tiny model has
+        nothing to quantize -> loud error, not a silent no-op table."""
+        _, params = tiny_amd
+        with pytest.raises(ValueError, match="no kernels"):
+            quant.quantize_params(params)
+
+    def test_jittable(self, tiny_amd):
+        _, params = tiny_amd
+        table = jax.jit(
+            lambda p: quant.quantize_params(p, predicate=tiny_pred))(params)
+        assert all(e["w8"].dtype == jnp.int8 for e in table.values())
+
+
+class TestQuantizedSampling:
+    def test_sample_close_to_fp(self, tiny_amd):
+        model, params = tiny_amd
+        table = quant.quantize_params(params, predicate=tiny_pred)
+        v = jax.random.normal(KEY, (1, W, 4, LAT, LAT))
+        ref = jnp.broadcast_to(v[:, :1], v.shape)
+        common = dict(video_grey=v, ref_img_grey=ref, sample_step=2)
+        _, fp, _ = amd_mod.sample_jit(model, params, KEY, v, ref, **common)
+        _, q, _ = amd_mod.sample_jit(model, params, KEY, v, ref,
+                                     quant_table=table, **common)
+        assert q.shape == fp.shape
+        assert bool(jnp.all(jnp.isfinite(q)))
+        # interception actually changed the math ...
+        assert not np.array_equal(np.asarray(q), np.asarray(fp))
+        # ... but only by quantization noise
+        rel = float(jnp.linalg.norm(q - fp) / jnp.linalg.norm(fp))
+        assert rel < 0.15, rel
+
+    def test_stripped_tree_serves_identically(self, tiny_amd):
+        model, params = tiny_amd
+        table = quant.quantize_params(params, predicate=tiny_pred)
+        stripped = quant.strip_quantized(params, table)
+        n_full = len(jax.tree_util.tree_leaves(params))
+        n_strip = len(jax.tree_util.tree_leaves(stripped))
+        assert n_strip == n_full - len(table)
+        v = jax.random.normal(KEY, (1, W, 4, LAT, LAT))
+        ref = jnp.broadcast_to(v[:, :1], v.shape)
+        common = dict(video_grey=v, ref_img_grey=ref, sample_step=2,
+                      quant_table=table)
+        _, q_full, _ = amd_mod.sample_jit(model, params, KEY, v, ref, **common)
+        _, q_strip, _ = amd_mod.sample_jit(model, stripped, KEY, v, ref,
+                                           **common)
+        np.testing.assert_array_equal(np.asarray(q_full), np.asarray(q_strip))
+
+
+class TestUnstackScanned:
+    def test_velocity_parity(self, tiny_amd):
+        model, _ = tiny_amd
+        cfg_sc = amd_mod.AMDConfig(
+            **{**{f.name: getattr(model.cfg, f.name)
+                  for f in model.cfg.__dataclass_fields__.values()},
+               "scan_layers": True})
+        scanned = amd_mod.AMDModelNew(cfg=cfg_sc)
+        v = jnp.zeros((1, W, 4, LAT, LAT))
+        p_sc = scanned.init({"params": KEY, "noise": KEY}, v, v, v, v)
+        p_un = {"params": quant.unstack_scanned(
+            p_sc["params"], cfg_sc.diffusion_num_layers)}
+
+        img = jax.random.normal(KEY, (W, 8, LAT, LAT))
+        tstep = jnp.full((W,), 500, jnp.int32)
+        cam = jax.random.normal(KEY, (1, W, LAT * LAT, 8))
+        obj = jax.random.normal(KEY, (W, 2, 16))
+        kw = dict(camera_target=cam, object_source=obj, object_target=obj)
+        out_sc = scanned.apply(p_sc, img, tstep, method="velocity", **kw)
+        out_un = model.apply(p_un, img, tstep, method="velocity", **kw)
+        np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_un),
+                                   atol=1e-5)
+
+    def test_unstacked_quantizes(self, tiny_amd):
+        model, _ = tiny_amd
+        cfg_sc = amd_mod.AMDConfig(
+            **{**{f.name: getattr(model.cfg, f.name)
+                  for f in model.cfg.__dataclass_fields__.values()},
+               "scan_layers": True})
+        scanned = amd_mod.AMDModelNew(cfg=cfg_sc)
+        v = jnp.zeros((1, W, 4, LAT, LAT))
+        p_sc = scanned.init({"params": KEY, "noise": KEY}, v, v, v, v)
+        p_un = {"params": quant.unstack_scanned(
+            p_sc["params"], cfg_sc.diffusion_num_layers)}
+        table = quant.quantize_params(p_un, predicate=tiny_pred)
+        layers = {p.split("/")[1] for p in table}
+        assert any(k.startswith("object_blocks_") for k in layers)
+        assert any(k.startswith("camera_blocks_") for k in layers)
+        assert any(k.startswith("spatial_blocks_") for k in layers)
