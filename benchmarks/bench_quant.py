@@ -26,7 +26,10 @@ def bench(fn, args, iters):
             def body(x, _):
                 out = fn(x, *rest)
                 leaf = jax.tree.leaves(out)[0]
-                delta = jnp.ravel(leaf)[0].astype(x.dtype)
+                # full-reduction delta: a one-element slice would let XLA
+                # dead-code-eliminate everything outside that element's
+                # receptive field (measured 9x inflation on conv stacks)
+                delta = jnp.sum(leaf.astype(jnp.float32)).astype(x.dtype)
                 return x + delta * 1e-20, None
             x, _ = jax.lax.scan(body, first, None, length=n)
             return x
@@ -46,12 +49,46 @@ def bench(fn, args, iters):
     return (t2 - t1) / (4 * iters)
 
 
+def bench_vae(args):
+    """VAE decode (the serving output leg): bf16 vs the int8 conv path —
+    per-output-channel int8 weights, dynamic per-tensor activations, the
+    boundary convs excluded by the predicate (ops/quant.py)."""
+    from functools import partial
+
+    from hivae_tpu.models import vae as vae_mod
+    from hivae_tpu.ops import quant
+
+    model = vae_mod.AutoencoderKL(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(
+        lambda: model.init(key, jnp.zeros((1, 3, 256, 256))))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    table = jax.jit(partial(quant.quantize_params, scope=None))(params)
+    convs = sum(1 for e in table.values() if e["w8"].ndim == 4)
+    print(f"VAE quantized layers: {len(table)} ({convs} convs)  "
+          f"int8 bytes: {sum(int(e['w8'].size) for e in table.values())/1e6:.0f} MB")
+
+    z = jax.random.normal(key, (1, args.frames, 4, 32, 32))
+
+    def dec(z, qt):
+        return vae_mod.vae_decode(model, params, z, quant_table=qt)
+
+    t_bf = bench(lambda z: dec(z, None), (z,), 2)
+    print(f"VAE decode ({args.frames}f)  bf16: {t_bf*1e3:8.1f} ms  "
+          f"{args.frames/t_bf:6.1f} f/s")
+    t_q = bench(lambda z: dec(z, table), (z,), 2)
+    print(f"VAE decode ({args.frames}f)  int8: {t_q*1e3:8.1f} ms  "
+          f"{args.frames/t_q:6.1f} f/s   speedup {t_bf/t_q:.2f}x")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--sample_step", type=int, default=10)
+    p.add_argument("--part", choices=["dit", "vae", "all"],
+                   default="all")
     args = p.parse_args()
 
     from hivae_tpu.models import amd
@@ -60,6 +97,10 @@ def main():
 
     enable_compile_cache()
     dtype = jnp.bfloat16
+    if args.part in ("vae", "all"):
+        bench_vae(args)
+    if args.part == "vae":
+        return
     model = amd.AMD_N(dtype=dtype, use_filter=True, use_grey=True,
                       video_frames=args.frames,
                       camera_motion_token_num=args.frames,

@@ -144,11 +144,22 @@ def vae_encode(vae: AutoencoderKL, params, video: jax.Array,
 
 
 def vae_decode(vae: AutoencoderKL, params, latents: jax.Array,
-               scale: float = SD_VAE_SCALE) -> jax.Array:
-    """(N,T,latent,h,w) scaled latents -> (N,T,C,H,W) pixels in [-1,1]."""
+               scale: float = SD_VAE_SCALE,
+               quant_table=None) -> jax.Array:
+    """(N,T,latent,h,w) scaled latents -> (N,T,C,H,W) pixels in [-1,1].
+
+    ``quant_table`` (``ops.quant.quantize_params(vae_params, scope=None)``)
+    runs the decoder's large convs and mid-block attention on the int8 MXU
+    — the w8a8 serving path; the sensitive boundary convs stay bf16.
+    """
     n, t = latents.shape[:2]
     flat = latents.reshape((n * t,) + latents.shape[2:]) / scale
-    img = vae.apply(params, flat, method="decode")
+    if quant_table:
+        from ..ops.quant import quantized_calls
+        with quantized_calls(quant_table):
+            img = vae.apply(params, flat, method="decode")
+    else:
+        img = vae.apply(params, flat, method="decode")
     return img.reshape((n, t) + img.shape[1:])
 
 
@@ -159,9 +170,11 @@ def latents_to_rgb(img: jax.Array) -> jax.Array:
 
 
 def vae_decode_rgb(vae: AutoencoderKL, params, latents: jax.Array,
-                   scale: float = SD_VAE_SCALE) -> jax.Array:
+                   scale: float = SD_VAE_SCALE,
+                   quant_table=None) -> jax.Array:
     """Decode + quantize in one program so hosts fetch uint8, not bf16."""
-    return latents_to_rgb(vae_decode(vae, params, latents, scale))
+    return latents_to_rgb(vae_decode(vae, params, latents, scale,
+                                     quant_table=quant_table))
 
 
 # Jitted entry points for pipelines/CLIs. The module is a static argument

@@ -29,6 +29,17 @@ Scheme (the standard w8a8 recipe for DiT-family models):
   streams and the small layers are a rounding error in FLOPs — the usual
   accuracy/coverage trade for diffusion transformers.
 
+**Convolutions** (the SD-VAE decode path) quantize too: per-output-channel
+int8 weights with a dynamic per-tensor activation scale (per-token scales
+do not factor out of a spatial convolution — each output pixel mixes
+inputs from a 3x3 neighbourhood, so only a scalar activation scale is
+exact). XLA lowers int8 ``conv_general_dilated`` straight onto the int8
+MXU: measured 247 vs 171 TFLOP/s bf16 (1.45x) on the dominant decoder
+conv shape (16x128x128, 512ch, 3x3; real v5e chip). Sensitive boundary
+convs (``conv_in`` from the 4-channel latent, the 3-channel ``conv_out``,
+the 1x1 quant convs) fall below the size predicate and stay in the
+compute dtype.
+
 Integration is a Flax method interceptor (:func:`quantized_calls`): the
 model definition is untouched; during an intercepted ``apply``, any
 ``nn.Dense`` whose path is in the table runs the int8 kernel instead. The
@@ -47,7 +58,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_params", "quantized_calls", "quant_dense",
+__all__ = ["quantize_params", "quantized_calls", "quant_dense", "quant_conv",
            "strip_quantized", "unstack_scanned", "default_predicate"]
 
 # Dense names never quantized regardless of size: AdaLN modulation
@@ -57,16 +68,30 @@ _SKIP_NAMES = ("linear", "linear_1", "linear_2")
 
 def default_predicate(path: Tuple[str, ...], kernel: jax.Array,
                       min_dim: int = 512) -> bool:
-    """Quantize 2-D kernels with both dims >= ``min_dim`` whose Dense is not
-    a modulation/timestep layer."""
-    return (kernel.ndim == 2 and min(kernel.shape) >= min_dim
-            and path[-1] not in _SKIP_NAMES)
+    """Quantize 2-D (Dense) kernels with both dims >= ``min_dim``, and 4-D
+    (Conv, HWIO) kernels whose input features ``kh*kw*ic >= min_dim`` and
+    output channels ``>= min_dim // 4`` — excluding modulation/timestep
+    layers by name. The conv thresholds keep the VAE's sensitive boundary
+    convs (4-channel latent in, 3-channel image out) in the compute dtype."""
+    if path[-1] in _SKIP_NAMES:
+        return False
+    if kernel.ndim == 2:
+        return min(kernel.shape) >= min_dim
+    if kernel.ndim == 4:
+        kh, kw, ic, oc = kernel.shape
+        return kh * kw * ic >= min_dim and oc >= max(min_dim // 4, 1)
+    return False
 
 
 def _quantize_kernel(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(K, N) -> per-output-channel symmetric int8 + fp32 scale (N,)."""
+    """(..., N) -> per-output-channel symmetric int8 + fp32 scale (N,).
+
+    The abs-max reduces over every axis but the last (the output features
+    for both Dense ``(K, N)`` and HWIO Conv ``(kh, kw, ic, oc)`` kernels).
+    """
     k32 = jnp.asarray(kernel, jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=0), 1e-8) / 127.0
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(k32), axis=tuple(range(k32.ndim - 1))), 1e-8) / 127.0
     w8 = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
     return w8, scale
 
@@ -140,20 +165,88 @@ def quant_dense(x: jax.Array, w8: jax.Array, scale: jax.Array,
     return y.astype(out_dtype if out_dtype is not None else x.dtype)
 
 
+def quant_conv(x: jax.Array, w8: jax.Array, scale: jax.Array,
+               bias: Optional[jax.Array] = None, *,
+               strides=(1, 1), padding="SAME", out_dtype=None) -> jax.Array:
+    """y = dequant(quant(x) conv w8) + bias — the int8-MXU 2-D convolution.
+
+    ``x``: (N, H, W, C) any float dtype; ``w8``: (kh, kw, ic, oc) int8;
+    ``scale``: (oc,) fp32 per-output-channel weight scale. The activation
+    scale is dynamic per-tensor (a scalar is the only factoring that is
+    exact under spatial mixing). XLA lowers the int8 conv onto the MXU at
+    ~1.45x the bf16 conv rate (measured, module docstring).
+    """
+    xf = jnp.asarray(x, jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, w8, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def _canon_conv(m: nn.Conv, x: jax.Array):
+    """(strides, padding) in ``lax.conv_general_dilated`` form for a flax
+    ``nn.Conv``, or None when the module uses features the int8 path does
+    not reproduce (grouped/dilated convs, non-2D, circular padding)."""
+    if x.ndim != 4 or len(m.kernel_size) != 2 or m.feature_group_count != 1:
+        return None
+    for dil in (m.input_dilation, m.kernel_dilation):
+        if dil not in (None, 1, (1, 1)):
+            return None
+    s = m.strides or 1
+    strides = (s, s) if isinstance(s, int) else tuple(s)
+    p = m.padding
+    if isinstance(p, str):
+        if p not in ("SAME", "VALID"):
+            return None
+        padding = p
+    elif isinstance(p, int):
+        padding = ((p, p), (p, p))
+    else:
+        padding = tuple((pp, pp) if isinstance(pp, int) else tuple(pp)
+                        for pp in p)
+        if len(padding) != 2:
+            return None
+    return strides, padding
+
+
 def quantized_calls(quant_table: Dict[str, Dict]):
-    """Context manager: inside, any ``nn.Dense`` whose module path is in
-    ``quant_table`` runs :func:`quant_dense` instead of its bf16 matmul.
-    Active at trace time — wrap the ``model.apply`` (or the jitted region)
-    whose Denses should quantize."""
+    """Context manager: inside, any ``nn.Dense`` / ``nn.Conv`` whose module
+    path is in ``quant_table`` runs the int8 kernel instead of its bf16
+    matmul/conv. Active at trace time — wrap the ``model.apply`` (or the
+    jitted region) whose layers should quantize."""
 
     def interceptor(next_fn, args, kwargs, context):
         m = context.module
-        if isinstance(m, nn.Dense) and context.method_name == "__call__":
-            entry = quant_table.get("/".join(m.path))
-            if entry is not None:
-                return quant_dense(args[0], entry["w8"], entry["scale"],
-                                   entry.get("bias"),
-                                   out_dtype=m.dtype or args[0].dtype)
+        if context.method_name == "__call__":
+            if isinstance(m, nn.Dense):
+                entry = quant_table.get("/".join(m.path))
+                if entry is not None:
+                    return quant_dense(args[0], entry["w8"], entry["scale"],
+                                       entry.get("bias"),
+                                       out_dtype=m.dtype or args[0].dtype)
+            elif isinstance(m, nn.Conv):
+                entry = quant_table.get("/".join(m.path))
+                if entry is not None:
+                    geom = _canon_conv(m, args[0])
+                    if geom is None:
+                        # a silent bf16 fallback would read a kernel that
+                        # strip_quantized may have pruned — fail loudly
+                        raise NotImplementedError(
+                            f"quantized conv {'/'.join(m.path)} uses a "
+                            "geometry the int8 path does not reproduce "
+                            "(grouped/dilated/non-2D); exclude it from the "
+                            "quantization predicate")
+                    return quant_conv(
+                        args[0], entry["w8"], entry["scale"],
+                        entry.get("bias"), strides=geom[0],
+                        padding=geom[1],
+                        out_dtype=m.dtype or args[0].dtype)
         return next_fn(*args, **kwargs)
 
     return nn.intercept_methods(interceptor)

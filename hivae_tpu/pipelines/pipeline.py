@@ -48,7 +48,8 @@ from functools import partial
                           "object_mask_ratio", "use_grey", "solver"))
 def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
                 sample_step, camera_mask_ratio=None, object_mask_ratio=None,
-                use_grey=False, solver="euler", quant_table=None):
+                use_grey=False, solver="euler", quant_table=None,
+                vae_quant_table=None):
     """Whole-clip reconstruction as ONE program: encode -> split ref/target
     -> motion sample -> decode -> uint8. A single dispatch per clip matters:
     per-op eager dispatch costs seconds on relayed runtimes and forfeits
@@ -68,13 +69,15 @@ def _recon_clip(vae, amd_model, vae_params, amd_params, pixels, grey, key,
         object_mask_ratio=object_mask_ratio, solver=solver,
         quant_table=quant_table, **grey_kw)
     result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
-    return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+    return vae_mod.vae_decode_rgb(vae, vae_params, result,
+                                  quant_table=vae_quant_table)[0]
 
 
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("sample_step", "use_grey"))
 def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
-                grey2, key, sample_step, use_grey=False, quant_table=None):
+                grey2, key, sample_step, use_grey=False, quant_table=None,
+                vae_quant_table=None):
     """Cross-video motion transfer as ONE program (motion from clip 1,
     appearance from clip 2) — same single-dispatch rationale as
     ``_recon_clip``."""
@@ -91,14 +94,15 @@ def _cross_clip(vae, amd_model, vae_params, amd_params, pix1, pix2, grey1,
         amd_model, amd_params, key, z1[1:][None], z2[1:][None], ref,
         sample_step=sample_step, quant_table=quant_table, **kw)
     result = jnp.concatenate([z2[:1][None], video_pre], axis=1)
-    return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+    return vae_mod.vae_decode_rgb(vae, vae_params, result,
+                                  quant_table=vae_quant_table)[0]
 
 
 @partial(jax.jit, static_argnums=(0, 1),
          static_argnames=("sample_step", "use_grey"))
 def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
                       camera_pixels, key, sample_step, use_grey=False,
-                      quant_table=None):
+                      quant_table=None, vae_quant_table=None):
     """Reconstruction with the camera/LF motion taken from a different clip
     (reference ``AMDModel.sample_diff_motion``) as ONE program. AMDModel
     (dual-encoder) only."""
@@ -115,7 +119,8 @@ def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
         camera_video_grey=cam_gz[1:][None], sample_step=sample_step,
         quant_table=quant_table)
     result = jnp.concatenate([refimg_z[None], video_pre], axis=1)
-    return vae_mod.vae_decode_rgb(vae, vae_params, result)[0]
+    return vae_mod.vae_decode_rgb(vae, vae_params, result,
+                                  quant_table=vae_quant_table)[0]
 
 
 @partial(jax.jit, static_argnums=(0, 1),
@@ -187,15 +192,19 @@ def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
         quant_table=quant_table)[1]
 
 
-def _build_quant_table(quant, amd_params):
-    """``quant='int8'`` -> w8a8 table for the DiT's big projections
-    (``ops/quant.py``); built as ONE jitted program (eager per-leaf quant
-    would be per-op dispatch on relayed runtimes)."""
+def _build_quant_table(quant, params, scope="dit"):
+    """``quant='int8'`` -> w8a8 table (``ops/quant.py``); built as ONE
+    jitted program (eager per-leaf quant would be per-op dispatch on
+    relayed runtimes). ``scope='dit'`` covers the DiT's big projections;
+    ``scope='vae'`` covers the whole tree (the VAE decoder's convs +
+    mid-block attention — used for the decode leg only)."""
     if quant is None:
         return None
     if quant != "int8":
         raise ValueError(f"unknown quant mode {quant!r}; use 'int8' or None")
-    return jax.jit(quant_ops.quantize_params)(amd_params)
+    fn = (quant_ops.quantize_params if scope == "dit"
+          else partial(quant_ops.quantize_params, scope=None))
+    return jax.jit(fn)(params)
 
 
 class AMDReconstructionPipeline:
@@ -215,6 +224,7 @@ class AMDReconstructionPipeline:
         self.use_grey = use_grey
         self.sample_size = sample_size
         self.quant_table = _build_quant_table(quant, amd_params)
+        self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
 
     def _load_clip(self, video_path: str, fps: int):
         total, video_fps = vio.video_metadata(video_path)
@@ -245,7 +255,8 @@ class AMDReconstructionPipeline:
             key, sample_step=video_sample_step,
             camera_mask_ratio=camera_mask_ratio,
             object_mask_ratio=object_mask_ratio, use_grey=self.use_grey,
-            solver=solver, quant_table=self.quant_table))
+            solver=solver, quant_table=self.quant_table,
+            vae_quant_table=self.vae_quant_table))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -350,7 +361,8 @@ class AMDReconstructionPipeline:
 
         result = jnp.concatenate([ref_z, pre_video], axis=1)
         out = np.asarray(vae_mod.vae_decode_rgb_jit(
-            self.vae, self.vae_params, result)[0])
+            self.vae, self.vae_params, result,
+            quant_table=self.vae_quant_table)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -373,7 +385,8 @@ class AMDCrossVideoPipeline(AMDReconstructionPipeline):
             None if grey1 is None else jnp.asarray(grey1),
             None if grey2 is None else jnp.asarray(grey2), key,
             sample_step=video_sample_step, use_grey=self.use_grey,
-            quant_table=self.quant_table))
+            quant_table=self.quant_table,
+            vae_quant_table=self.vae_quant_table))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -399,7 +412,8 @@ class AMDDiffMotionPipeline(AMDReconstructionPipeline):
             jnp.asarray(pixels),
             jnp.asarray(grey if grey is not None else pixels),
             jnp.asarray(cam_grey), key, sample_step=video_sample_step,
-            use_grey=self.use_grey, quant_table=self.quant_table))
+            use_grey=self.use_grey, quant_table=self.quant_table,
+            vae_quant_table=self.vae_quant_table))
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -422,6 +436,7 @@ class GTMotionAblationPipeline:
         self.window = window
         self.sample_size = sample_size
         self.quant_table = _build_quant_table(quant, amd_params)
+        self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
 
     def reconstruct(self, video_path: str, output_path: Optional[str] = None,
                     num_windows: int = 2, video_sample_step: int = 10,
@@ -456,7 +471,8 @@ class GTMotionAblationPipeline:
 
         result = jnp.concatenate([ref_z, pre_video], axis=1)
         out = np.asarray(vae_mod.vae_decode_rgb_jit(
-            self.vae, self.vae_params, result)[0])
+            self.vae, self.vae_params, result,
+            quant_table=self.vae_quant_table)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps)
         return out
@@ -500,6 +516,7 @@ class ImageAudio2VideoPipeline:
         self.sample_size = sample_size
         self.need_motion_extract_model = need_motion_extract_model
         self.quant_table = _build_quant_table(quant, amd_params)
+        self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:
@@ -616,7 +633,8 @@ class ImageAudio2VideoPipeline:
         latents = self.predict(ref_img, audio_emb[:, :1], audio_emb[:, 1:],
                                motion_sample_step, video_sample_step, key=key)
         out = np.asarray(vae_mod.vae_decode_rgb_jit(
-            self.vae, self.vae_params, latents)[0])
+            self.vae, self.vae_params, latents,
+            quant_table=self.vae_quant_table)[0])
         if output_path:
             vio.write_video(output_path, out, fps=fps,
                             audio_path=audio_path)

@@ -173,3 +173,102 @@ class TestUnstackScanned:
         assert any(k.startswith("object_blocks_") for k in layers)
         assert any(k.startswith("camera_blocks_") for k in layers)
         assert any(k.startswith("spatial_blocks_") for k in layers)
+
+
+class TestQuantConv:
+    """Int8 conv path (the VAE decode serving leg)."""
+
+    def test_accuracy_vs_lax(self):
+        k1, k2 = jax.random.split(KEY)
+        x = jax.random.normal(k1, (2, 8, 8, 16))
+        w = jax.random.normal(k2, (3, 3, 16, 24)) / np.sqrt(9 * 16)
+        b = jnp.full((24,), 0.05)
+        w8, scale = quant._quantize_kernel(w)
+        assert scale.shape == (24,)
+        y = quant.quant_conv(x, w8, scale, b, strides=(1, 1),
+                             padding=((1, 1), (1, 1)))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.03, rel
+
+    def test_predicate_covers_vae_decoder_only_where_safe(self):
+        """Production threshold: big 3x3 convs quantize; the sensitive
+        boundary convs (4-ch latent in, 3-ch image out, 1x1 quant convs)
+        do not."""
+        p = quant.default_predicate
+        big = jnp.zeros((3, 3, 512, 512))
+        assert p(("decoder", "mid_block", "resnets_0", "conv1"), big)
+        assert p(("decoder", "up_blocks_3", "resnets_0", "conv1"),
+                 jnp.zeros((3, 3, 128, 128)))
+        assert not p(("decoder", "conv_in"), jnp.zeros((3, 3, 4, 512)))
+        assert not p(("decoder", "conv_out"), jnp.zeros((3, 3, 128, 3)))
+        assert not p(("post_quant_conv",), jnp.zeros((1, 1, 4, 4)))
+        # 1x1 shortcut with 512 inputs clears the bar (it is MXU work)
+        assert p(("decoder", "up_blocks_1", "resnets_0", "conv_shortcut"),
+                 jnp.zeros((1, 1, 512, 256)))
+
+    def test_vae_decode_int8_close_to_fp(self):
+        """Tiny AutoencoderKL: the interceptor swaps the decoder's convs +
+        mid-block attention for int8 kernels; output stays within
+        quantization noise of the fp path (GroupNorm renormalizes between
+        convs, so per-layer error does not compound)."""
+        from hivae_tpu.models import vae as vae_mod
+
+        cfg = vae_mod.VAEConfig(block_out_channels=(16, 32),
+                                norm_num_groups=4)
+        model = vae_mod.AutoencoderKL(cfg=cfg)
+        x = jax.random.normal(KEY, (2, 3, 32, 32))
+        params = model.init(KEY, x[:1])
+        table = quant.quantize_params(
+            params, predicate=lambda p, k: quant.default_predicate(
+                p, k, min_dim=32), scope=None)
+        conv_paths = [p for p, e in table.items() if e["w8"].ndim == 4]
+        assert conv_paths, "no convs quantized"
+        z = jax.random.normal(KEY, (2, 1, cfg.latent_channels, 4, 4))
+        fp = vae_mod.vae_decode(model, params, z)
+        q = vae_mod.vae_decode(model, params, z, quant_table=table)
+        assert not np.array_equal(np.asarray(q), np.asarray(fp))
+        rel = float(jnp.linalg.norm(q - fp) / jnp.linalg.norm(fp))
+        assert rel < 0.1, rel
+        # stripping the covered kernels serves identically
+        stripped = quant.strip_quantized(params, table)
+        q2 = vae_mod.vae_decode(model, stripped, z, quant_table=table)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q2))
+
+    def test_strided_downsample_conv(self):
+        """Flax geometry canonicalization: stride-2 VALID conv (the VAE
+        encoder's Downsample2D) routes through the int8 path exactly."""
+        import flax.linen as nn
+        from hivae_tpu.models.conv_blocks import Downsample2D
+
+        m = Downsample2D(24)
+        x = jax.random.normal(KEY, (1, 8, 8, 16))
+        params = m.init(KEY, x)
+        table = quant.quantize_params(
+            params, predicate=lambda p, k: k.ndim == 4, scope=None)
+        fp = m.apply(params, x)
+        with quant.quantized_calls(table):
+            q = m.apply(params, x)
+        assert q.shape == fp.shape
+        rel = float(jnp.linalg.norm(q - fp) / jnp.linalg.norm(fp))
+        assert 0 < rel < 0.05, rel
+
+    def test_unsupported_geometry_is_loud(self):
+        import flax.linen as nn
+
+        class G(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(16, (3, 3), feature_group_count=2,
+                               padding=1, name="gconv")(x)
+
+        m = G()
+        x = jax.random.normal(KEY, (1, 8, 8, 16))
+        params = m.init(KEY, x)
+        table = quant.quantize_params(
+            params, predicate=lambda p, k: True, scope=None)
+        with pytest.raises(NotImplementedError, match="geometry"):
+            with quant.quantized_calls(table):
+                m.apply(params, x)
