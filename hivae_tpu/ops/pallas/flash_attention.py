@@ -282,6 +282,32 @@ _BQ = 512       # query block rows (sublane-tiled)
 _BK = 512       # key block columns (lane-tiled)
 
 
+def _pick_stream_hb(h: int, bq: int, bk: int, d: int, itemsize: int,
+                    n_live: int) -> int:
+    """Head-batch factor for the streaming grid: the largest divisor of h
+    whose working set fits VMEM. A single-head grid step does only
+    4*bq*bk*d FLOPs (67 MFLOP at d=64) — too little to amortize the
+    per-step grid overhead, which is what capped the hb=1 schedule at
+    ~30 TFLOP/s. Batching HB heads into one step multiplies the MXU work
+    per step while the DMA pipeline depth stays the same.
+
+    The dominant VMEM term is NOT the operand blocks but the kernel's live
+    fp32 (HB, BQ, BK) intermediates — logits/probs forward (n_live=2),
+    plus dp/ds in the backward passes (n_live=4): at bq=bk=512 each is
+    1 MB per head, and the compiler's scoped-vmem accounting measured the
+    dkv pass at 17.4 MB for hb=4 against the 16 MB core (so the backward
+    passes land at hb=2 where the forward, hardware-verified at 13.1 MB,
+    keeps hb=4). Operand/output blocks (double-buffered) and scratch are
+    the smaller tail term."""
+    blocks = (2 * (2 * bq * d + 2 * bk * d) * max(itemsize, 2)
+              + (2 * 128 + d) * bq * 4 + 2 * bk * d * 4)
+    per_head = n_live * bq * bk * 4 + blocks
+    for hb in range(h, 0, -1):
+        if h % hb == 0 and hb * per_head <= 15 * 2**20:
+            return hb
+    return 1
+
+
 def _stream_pad(x, target):
     s = x.shape[2]
     return x if s == target else jnp.pad(
@@ -322,7 +348,7 @@ def _stream_bias(bias_ref, j, bk):
 
 
 def _stream_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                       m_scr, l_scr, acc_scr, *, scale, sk_real, bk):
+                       m_scr, l_scr, acc_scr, *, scale, bk):
     j = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -332,33 +358,37 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]                     # (BQ, D)
-    k = k_ref[0, 0]                     # (BK, D)
-    v = v_ref[0, 0]
+    q = q_ref[0]                        # (HB, BQ, D)
+    k = k_ref[0]                        # (HB, BK, D)
+    v = v_ref[0]
+    # The bias row carries the key-pad mask (_stream_prep), so the VPU
+    # work on the (HB, BQ, BK) tile is scale, bias-add, exp and the row
+    # reductions — no per-block iota/compare/where. (The scale multiply
+    # must stay between the dot and the bias add: adding a broadcast row
+    # directly onto the raw MXU output crashes Mosaic's
+    # ApplyVectorLayoutPass, vector_extract_rule limits 64 vs 1.)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (BQ, BK)
-    s = s + _stream_bias(bias_ref, j, bk)
-    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col >= sk_real, NEG_INF, s)
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale      # (HB, BQ, BK)
+    s = s + _stream_bias(bias_ref, j, bk)[None]
 
-    m_prev = m_scr[:, :1]               # (BQ, 1)
-    l_prev = l_scr[:, :1]
+    m_prev = m_scr[:, :, :1]            # (HB, BQ, 1)
+    l_prev = l_scr[:, :, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)              # fp32 (BQ, BK)
-    corr = jnp.exp(m_prev - m_new)      # (BQ, 1)
+    p = jnp.exp(s - m_new)              # fp32 (HB, BQ, BK)
+    corr = jnp.exp(m_prev - m_new)      # (HB, BQ, 1)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(j == nk - 1)
     def _finish():
-        l = l_scr[:, :1]
-        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l)
+        l = l_scr[:, :, :1]
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :, :1] + jnp.log(l)
 
 
 def _stream_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
@@ -370,28 +400,35 @@ def _stream_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    q = q_ref[0]                        # (HB, BQ, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    s = s + _stream_bias(bias_ref, j, bk)
-    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = s + _stream_bias(bias_ref, j, bk)[None]
+    # the iota/where is redundant with the NEG_INF-padded bias but is kept
+    # in the BACKWARD kernels as layout laundering: without an elementwise
+    # select between the row-broadcast add and the lane-broadcast lse
+    # subtract, Mosaic's ApplyVectorLayoutPass crashes (vector_extract_rule
+    # limits 64 vs 1). The forward kernel computes its max in-kernel and
+    # does not need it.
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col >= sk_real, NEG_INF, s)
-    p = jnp.exp(s - lse_ref[0, 0])                       # (BQ, BK) fp32
+    p = jnp.exp(s - lse_ref[0])                          # (HB, BQ, BK)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
+        do, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0, 0])
+    ds = p * (dp - delta_ref[0])
+    # dq = scale * ds @ k; the scale lands on the small (HB, BQ, D) tile
     acc_scr[...] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
 
     @pl.when(j == nk - 1)
     def _finish():
-        dq_ref[0, 0] = acc_scr[...].astype(dq_ref.dtype)
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
 
 
 def _stream_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
@@ -406,63 +443,72 @@ def _stream_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0]                     # (BQ, D) — i-block
-    k = k_ref[0, 0]                     # (BK, D) — j-block
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    q = q_ref[0]                        # (HB, BQ, D) — i-block
+    k = k_ref[0]                        # (HB, BK, D) — j-block
+    v = v_ref[0]
+    do = do_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (BQ, BK)
-    s = s + _stream_bias(bias_ref, j, bk)
-    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col >= sk_real, NEG_INF, s)
-    p = jnp.exp(s - lse_ref[0, 0])
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale      # (HB, BQ, BK)
+    s = s + _stream_bias(bias_ref, j, bk)[None]
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col >= sk_real, NEG_INF, s)  # layout laundering, see dq
+    p = jnp.exp(s - lse_ref[0])
     # dv_j += p^T @ do_i
     dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
+        do, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0, 0])
-    # dk_j += ds^T @ q_i * scale
+    ds = p * (dp - delta_ref[0])
+    # dk_j += ds^T @ q_i * scale — on the small (HB, BK, D) tile
     dk_scr[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
 
     @pl.when(i == ni - 1)
     def _finish():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _stream_prep(q, k, v, bias):
+    """Pads operands and folds the padded-key mask into the bias row
+    (NEG_INF beyond sk), eliminating the per-logit iota/compare/where from
+    the inner kernels — 3 fewer elementwise ops per logit on the VPU,
+    which is a double-digit share of the forward wall time at d=64."""
     b = q.shape[0]
     sq, sk = q.shape[2], k.shape[2]
     sqp, skp, bq, bk = _stream_geom(sq, sk)
     qp = _stream_pad(q, sqp)
     kp = _stream_pad(k, skp)
     vp = _stream_pad(v, skp)
-    # (B, 1, Skp): whole row per program — see _stream_bias
+    # (B, 1, Skp): whole row per program — see _stream_bias. Key padding is
+    # masked here (NEG_INF columns), not in the kernels; the online-softmax
+    # update is self-correcting for all-masked leading blocks (a later real
+    # block's corr = exp(m_prev - m_new) zeroes the transient 1.0 probs).
     if bias is None:
-        bp = jnp.zeros((b, 1, skp), jnp.float32)
+        bp = jnp.zeros((b, sk), jnp.float32)
     else:
-        bp = jnp.pad(bias.astype(jnp.float32),
-                     ((0, 0), (0, skp - sk)))[:, None]
+        bp = bias.astype(jnp.float32)
+    bp = jnp.pad(bp, ((0, 0), (0, skp - sk)),
+                 constant_values=NEG_INF)[:, None]
     return qp, kp, vp, bp, sqp, skp, bq, bk
 
 
-def _stream_specs(bq, bk, d, skp):
-    """Block specs for grid (B, H, nQ, nK) with q-major indexing. The lse /
-    delta rows travel as (B, H, Sqp, 1) so the (bq, 1) block obeys the
-    Mosaic last-two-dims tiling rule."""
-    qs = pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0),
+def _stream_specs(hb, bq, bk, d, skp):
+    """Block specs for grid (B, H/HB, nQ, nK) with q-major indexing. Each
+    program carries HB heads (see ``_pick_stream_hb``). The lse / delta
+    rows travel as (B, H, Sqp, 1) so the (bq, 1) block obeys the Mosaic
+    last-two-dims tiling rule."""
+    qs = pl.BlockSpec((1, hb, bq, d), lambda b, h, i, j: (b, h, i, 0),
                       memory_space=pltpu.VMEM)
-    ks = pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, j, 0),
+    ks = pl.BlockSpec((1, hb, bk, d), lambda b, h, i, j: (b, h, j, 0),
                       memory_space=pltpu.VMEM)
     bs = pl.BlockSpec((1, 1, skp), lambda b, h, i, j: (b, 0, 0),
                       memory_space=pltpu.VMEM)
-    rs = pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0),
+    rs = pl.BlockSpec((1, hb, bq, 1), lambda b, h, i, j: (b, h, i, 0),
                       memory_space=pltpu.VMEM)  # per-q-row lse/delta
     return qs, ks, bs, rs
 
@@ -477,11 +523,11 @@ def _stream_fwd_impl(q, k, v, bias, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     qp, kp, vp, bp, sqp, skp, bq, bk = _stream_prep(q, k, v, bias)
-    qs, ks, bs, rs = _stream_specs(bq, bk, d, skp)
+    hb = _pick_stream_hb(h, bq, bk, d, q.dtype.itemsize, n_live=2)
+    qs, ks, bs, rs = _stream_specs(hb, bq, bk, d, skp)
     out, lse = pl.pallas_call(
-        functools.partial(_stream_fwd_kernel, scale=scale, sk_real=sk,
-                          bk=bk),
-        grid=(b, h, sqp // bq, skp // bk),
+        functools.partial(_stream_fwd_kernel, scale=scale, bk=bk),
+        grid=(b, h // hb, sqp // bq, skp // bk),
         in_specs=[qs, ks, ks, bs],
         out_specs=(qs, rs),
         out_shape=(
@@ -489,9 +535,9 @@ def _stream_fwd_impl(q, k, v, bias, scale):
             jax.ShapeDtypeStruct((b, h, sqp, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),   # running max
-            pltpu.VMEM((bq, 128), jnp.float32),   # running denominator
-            pltpu.VMEM((bq, d), jnp.float32),     # output accumulator
+            pltpu.VMEM((hb, bq, 128), jnp.float32),   # running max
+            pltpu.VMEM((hb, bq, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((hb, bq, d), jnp.float32),     # output accumulator
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * sqp * skp * d,
@@ -518,31 +564,33 @@ def _flash_stream_bwd(scale, res, g):
     # delta_i = rowsum(do_i * o_i) — cheap bandwidth-bound reduction, XLA
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sqp - sq)))[..., None]
-    qs, ks, bs, rs = _stream_specs(bq, bk, d, skp)
+    hb = _pick_stream_hb(h, bq, bk, d, q.dtype.itemsize, n_live=4)
+    qs, ks, bs, rs = _stream_specs(hb, bq, bk, d, skp)
 
     dq = pl.pallas_call(
-        functools.partial(_stream_dq_kernel, scale=scale, sk_real=sk, bk=bk),
-        grid=(b, h, sqp // bq, skp // bk),
+        functools.partial(_stream_dq_kernel, scale=scale, sk_real=sk,
+                          bk=bk),
+        grid=(b, h // hb, sqp // bq, skp // bk),
         in_specs=[qs, ks, ks, bs, qs, rs, rs],
         out_specs=qs,
         out_shape=jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hb, bq, d), jnp.float32)],
         interpret=_interpret(),
     )(qp, kp, vp, bp, gp, lse, delta)
 
-    # kv-major grid: (B, H, nK, nQ) — q blocks stream past each kv block
-    qs2 = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, j, i: (b_, h_, i, 0),
+    # kv-major grid: (B, H/HB, nK, nQ) — q blocks stream past each kv block
+    qs2 = pl.BlockSpec((1, hb, bq, d), lambda b_, h_, j, i: (b_, h_, i, 0),
                        memory_space=pltpu.VMEM)
-    ks2 = pl.BlockSpec((1, 1, bk, d), lambda b_, h_, j, i: (b_, h_, j, 0),
+    ks2 = pl.BlockSpec((1, hb, bk, d), lambda b_, h_, j, i: (b_, h_, j, 0),
                        memory_space=pltpu.VMEM)
     bs2 = pl.BlockSpec((1, 1, skp), lambda b_, h_, j, i: (b_, 0, 0),
                        memory_space=pltpu.VMEM)
-    rs2 = pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, j, i: (b_, h_, i, 0),
+    rs2 = pl.BlockSpec((1, hb, bq, 1), lambda b_, h_, j, i: (b_, h_, i, 0),
                        memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_stream_dkv_kernel, scale=scale, sk_real=sk,
                           bk=bk),
-        grid=(b, h, skp // bk, sqp // bq),
+        grid=(b, h // hb, skp // bk, sqp // bq),
         in_specs=[qs2, ks2, ks2, bs2, qs2, rs2, rs2],
         out_specs=(ks2, ks2),
         out_shape=(
@@ -550,8 +598,8 @@ def _flash_stream_bwd(scale, res, g):
             jax.ShapeDtypeStruct((b, h, skp, d), v.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((hb, bk, d), jnp.float32),
+            pltpu.VMEM((hb, bk, d), jnp.float32),
         ],
         interpret=_interpret(),
     )(qp, kp, vp, bp, gp, lse, delta)
