@@ -70,12 +70,43 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = FRAMES * iters / dt
-    print(json.dumps({
+
+    # Supplementary: the int8 (w8a8) serving path on the decode leg — a
+    # capability number, reported alongside the headline (which stays the
+    # bf16 roundtrip for cross-round comparability). Guarded: the headline
+    # must survive any int8-path failure.
+    record = {
         "metric": "vae_encode_decode_frames_per_sec_per_chip_16f_256",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_FPS, 3),
-    }))
+    }
+    try:
+        from functools import partial
+
+        from hivae_tpu.ops import quant
+
+        table = jax.jit(partial(quant.quantize_params, scope=None))(params)
+        dec_q = jax.jit(lambda z: vae_mod.vae_decode(
+            model, params, z[:, None], quant_table=table)[:, 0])
+        dec_bf = jax.jit(lambda z: vae_mod.vae_decode(
+            model, params, z[:, None])[:, 0])
+        sync(dec_q(z)); sync(dec_bf(z))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = dec_bf(z)
+        sync(out)
+        t_bf = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = dec_q(z)
+        sync(out)
+        t_q = time.perf_counter() - t0
+        record["int8_decode_fps"] = round(FRAMES * iters / t_q, 2)
+        record["int8_decode_speedup"] = round(t_bf / t_q, 3)
+    except Exception:  # noqa: BLE001 — supplementary only
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--sample_step", type=int, default=10)
     p.add_argument("--platform", type=str, nargs="+", default=["tpu"],
                    help="lowering platforms, e.g. --platform tpu cpu")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8: the exported program runs the DiT Euler "
+                        "loop and the VAE decode leg on the int8 MXU; the "
+                        "w8a8 tables become call-time arguments (build "
+                        "them with ops.quant.quantize_params)")
     p.add_argument("--check", action="store_true")
     return p.parse_args()
 
@@ -91,19 +96,40 @@ def main():
             if "params" not in amd_params:
                 amd_params = {"params": amd_params}
 
-    def serve(vae_params, amd_params, pixels, grey, key):
-        return _recon_clip(vae, model, vae_params, amd_params, pixels,
-                           grey, key, sample_step=args.sample_step,
-                           use_grey=use_grey)
-
     f1 = args.frames + 1
     pix = jax.ShapeDtypeStruct((f1, 3, args.size, args.size), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    specs = (jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                          vae_params),
-             jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                          amd_params),
-             pix, pix, key)
+    shapes_of = lambda t: jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+
+    if args.quant == "int8":
+        # w8a8 serving: the tables are call-time args like the weights, so
+        # one artifact still serves any checkpoint of the config (build the
+        # tables with ops.quant.quantize_params at load time)
+        from functools import partial
+
+        from hivae_tpu.ops import quant as quant_ops
+
+        qt_spec = jax.eval_shape(quant_ops.quantize_params, amd_params)
+        vqt_spec = jax.eval_shape(
+            partial(quant_ops.quantize_params, scope=None), vae_params)
+
+        def serve(vae_params, amd_params, qt, vqt, pixels, grey, key):
+            return _recon_clip(vae, model, vae_params, amd_params, pixels,
+                               grey, key, sample_step=args.sample_step,
+                               use_grey=use_grey, quant_table=qt,
+                               vae_quant_table=vqt)
+
+        specs = (shapes_of(vae_params), shapes_of(amd_params),
+                 shapes_of(qt_spec), shapes_of(vqt_spec), pix, pix, key)
+    else:
+        def serve(vae_params, amd_params, pixels, grey, key):
+            return _recon_clip(vae, model, vae_params, amd_params, pixels,
+                               grey, key, sample_step=args.sample_step,
+                               use_grey=use_grey)
+
+        specs = (shapes_of(vae_params), shapes_of(amd_params), pix, pix,
+                 key)
 
     exp = jexport.export(jax.jit(serve),
                          platforms=tuple(args.platform))(*specs)

@@ -651,9 +651,15 @@ def sample_grid(model: A2MModelMlp, params, key, ref_img, audio,
 
 def sample(model, params, key, ref_motion, frames: int,
            sample_step: int = 10, audio=None, ref_audio=None, pose=None,
-           ref_pose=None, solver: str = "euler") -> jax.Array:
+           ref_pose=None, solver: str = "euler",
+           quant_table=None) -> jax.Array:
     """Sample motion tokens (reference ``model_A2M.py:980-1034``);
-    ``solver='heun'`` uses the 2nd-order integrator."""
+    ``solver='heun'`` uses the 2nd-order integrator.
+
+    ``quant_table`` (``ops/quant.py::quantize_params(params, scope=None)``)
+    runs the Euler loop's large projections on the int8 MXU — serving
+    only; the one-shot audio/pose conditioning stays in the compute dtype
+    (it runs outside the wrapped loop)."""
     cfg: A2MConfig = model.cfg
     n, l, d = ref_motion.shape
     cond = model.apply(params, audio=audio, ref_audio=ref_audio, pose=pose,
@@ -666,6 +672,10 @@ def sample(model, params, key, ref_motion, frames: int,
                            **cond)
 
     integrate = rf.heun_sample if solver == "heun" else rf.euler_sample
+    if quant_table:
+        from ..ops.quant import quantized_calls
+        with quantized_calls(quant_table):
+            return integrate(vel_fn, z0, step_seq)
     return integrate(vel_fn, z0, step_seq)
 
 

@@ -127,13 +127,13 @@ def _diff_motion_clip(vae, amd_model, vae_params, amd_params, pixels, grey,
          static_argnames=("motion_steps", "video_steps"))
 def _a2v_window(amd_model, a2m_model, amd_params, a2m_params, ref_motion,
                 audio, ref_audio, m2v_ref, km, kv, motion_steps, video_steps,
-                quant_table=None):
+                quant_table=None, a2m_quant_table=None):
     """One audio->video window (A2M motion sample + refimg-motion decode)
     as one program — one dispatch per window in the autoregressive loop."""
     motion_pre = a2m_mod.sample(
         a2m_model, a2m_params, km, ref_motion[:, -1],
         frames=audio.shape[1], sample_step=motion_steps, audio=audio,
-        ref_audio=ref_audio[:, -1])
+        ref_audio=ref_audio[:, -1], quant_table=a2m_quant_table)
     _, video_pre = amd_mod.sample_with_refimg_motion(
         amd_model, amd_params, kv, m2v_ref, motion_pre,
         sample_step=video_steps, quant_table=quant_table)
@@ -192,19 +192,30 @@ def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
         quant_table=quant_table)[1]
 
 
-def _build_quant_table(quant, params, scope="dit"):
+def _build_quant_table(quant, params, scope="dit", allow_empty=False):
     """``quant='int8'`` -> w8a8 table (``ops/quant.py``); built as ONE
     jitted program (eager per-leaf quant would be per-op dispatch on
     relayed runtimes). ``scope='dit'`` covers the DiT's big projections;
-    ``scope='vae'`` covers the whole tree (the VAE decoder's convs +
-    mid-block attention — used for the decode leg only)."""
+    ``scope='vae'``/``'a2m'`` cover the whole tree (the VAE decoder's
+    convs + mid-block attention; the A2M head's projections — only the
+    legs wrapped in ``quantized_calls`` actually run int8).
+    ``allow_empty``: a model whose layers all fall below the size
+    predicate serves unquantized (None) instead of raising — the A2M head
+    can legitimately be tiny."""
     if quant is None:
         return None
     if quant != "int8":
         raise ValueError(f"unknown quant mode {quant!r}; use 'int8' or None")
     fn = (quant_ops.quantize_params if scope == "dit"
           else partial(quant_ops.quantize_params, scope=None))
-    return jax.jit(fn)(params)
+    try:
+        return jax.jit(fn)(params)
+    except ValueError:
+        if allow_empty:
+            print(f"quant: no {scope} layers clear the int8 size "
+                  "predicate; that leg serves in the compute dtype")
+            return None
+        raise
 
 
 class AMDReconstructionPipeline:
@@ -517,6 +528,8 @@ class ImageAudio2VideoPipeline:
         self.need_motion_extract_model = need_motion_extract_model
         self.quant_table = _build_quant_table(quant, amd_params)
         self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
+        self.a2m_quant_table = _build_quant_table(quant, a2m_params, "a2m",
+                                                  allow_empty=True)
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:
@@ -569,7 +582,8 @@ class ImageAudio2VideoPipeline:
                 self.amd_model, self.a2m_model, self.amd_params,
                 self.a2m_params, ref_motion, audio[:, s:e], cur_ref_audio,
                 m2v_ref, km, kv, motion_steps=motion_sample_step,
-                video_steps=video_sample_step, quant_table=self.quant_table)
+                video_steps=video_sample_step, quant_table=self.quant_table,
+                a2m_quant_table=self.a2m_quant_table)
 
             pre_motion = motion_pre if pre_motion is None else jnp.concatenate(
                 [pre_motion, motion_pre], axis=1)
@@ -590,7 +604,8 @@ class ImageAudio2VideoPipeline:
                 self.a2m_params, ref_motion, audio[:, s:e],
                 audio[:, s - r:s], pre_video[:, s - 1], km, kv,
                 motion_steps=motion_sample_step,
-                video_steps=video_sample_step, quant_table=self.quant_table)
+                video_steps=video_sample_step, quant_table=self.quant_table,
+                a2m_quant_table=self.a2m_quant_table)
             pre_motion = jnp.concatenate([pre_motion[:, :s], motion_pre], axis=1)
             pre_video = jnp.concatenate([pre_video[:, :s], video_pre], axis=1)
 

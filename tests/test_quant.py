@@ -272,3 +272,36 @@ class TestQuantConv:
         with pytest.raises(NotImplementedError, match="geometry"):
             with quant.quantized_calls(table):
                 m.apply(params, x)
+
+
+class TestA2MQuant:
+    def test_a2m_sample_close_to_fp(self):
+        """The A2M motion sampler's Euler loop quantizes via quant_table=
+        (the a2m leg of the A2V serving path)."""
+        from hivae_tpu.models import a2m as a2m_mod
+
+        frames, l, d = 3, 2, 8
+        cfg = a2m_mod.A2MConfig(
+            audio_inchannel=6, audio_block=4, motion_num_token=l,
+            motion_in_channel=d, motion_frames=frames, intermediate_dim=12,
+            window_size=4, encoder_out_dim=16, diffusion_attn_head_dim=8,
+            diffusion_attn_num_heads=2, diffusion_num_layers=2)
+        model = a2m_mod.A2MModelCrossAttnAudio(cfg=cfg, variant="audio")
+        ref_motion = jax.random.normal(KEY, (1, l, d))
+        audio = jax.random.normal(KEY, (1, frames, 4, 6))
+        ref_audio = jax.random.normal(KEY, (1, 4, 6))
+        params = model.init(
+            {"params": KEY, "noise": KEY},
+            jax.random.normal(KEY, (1, frames, l, d)), ref_motion,
+            audio=audio, ref_audio=ref_audio)
+        table = quant.quantize_params(params, predicate=tiny_pred,
+                                      scope=None)
+        common = dict(frames=frames, sample_step=2, audio=audio,
+                      ref_audio=ref_audio)
+        fp = a2m_mod.sample(model, params, KEY, ref_motion, **common)
+        q = a2m_mod.sample(model, params, KEY, ref_motion,
+                           quant_table=table, **common)
+        assert q.shape == fp.shape
+        assert not np.array_equal(np.asarray(q), np.asarray(fp))
+        rel = float(jnp.linalg.norm(q - fp) / jnp.linalg.norm(fp))
+        assert rel < 0.2, rel
