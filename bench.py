@@ -86,7 +86,8 @@ def main():
 
         from hivae_tpu.ops import quant
 
-        table = jax.jit(partial(quant.quantize_params, scope=None))(params)
+        table = jax.jit(partial(quant.quantize_params,
+                        scope=("decoder",)))(params)
         dec_q = jax.jit(lambda z: vae_mod.vae_decode(
             model, params, z[:, None], quant_table=table)[:, 0])
         dec_bf = jax.jit(lambda z: vae_mod.vae_decode(

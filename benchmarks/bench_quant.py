@@ -63,7 +63,8 @@ def bench_vae(args):
     shapes = jax.eval_shape(
         lambda: model.init(key, jnp.zeros((1, 3, 256, 256))))
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    table = jax.jit(partial(quant.quantize_params, scope=None))(params)
+    table = jax.jit(partial(
+        quant.quantize_params, scope=("decoder",)))(params)
     convs = sum(1 for e in table.values() if e["w8"].ndim == 4)
     print(f"VAE quantized layers: {len(table)} ({convs} convs)  "
           f"int8 bytes: {sum(int(e['w8'].size) for e in table.values())/1e6:.0f} MB")

@@ -59,6 +59,15 @@ def main():
     with open(args.amd_config) as f:
         cfg = amd_mod.AMDConfig.from_dict(json.load(f))
     cfg = cfg.replace(video_frames=args.frames)
+    was_scanned = getattr(cfg, "scan_layers", False)
+    if args.quant and was_scanned:
+        # the int8 interceptor addresses Denses by module path; nn.scan's
+        # stacked layout serves every layer through ONE path, so quantized
+        # serving exports the unrolled layout (params converted below;
+        # quantize_params refuses stacked trees as a backstop)
+        cfg = cfg.replace(scan_layers=False)
+        print("quant: exporting the unrolled layer layout "
+              "(scan_layers=False)")
     model = amd_mod.AMDModelNew(cfg=cfg, dtype=jnp.bfloat16)
     vae = vae_mod.AutoencoderKL(dtype=jnp.bfloat16)
 
@@ -95,6 +104,10 @@ def main():
             amd_params = restored.get("params", restored)
             if "params" not in amd_params:
                 amd_params = {"params": amd_params}
+            if args.quant and was_scanned:
+                from hivae_tpu.ops.quant import unstack_scanned
+                amd_params = {"params": unstack_scanned(
+                    amd_params["params"], cfg.diffusion_num_layers)}
 
     f1 = args.frames + 1
     pix = jax.ShapeDtypeStruct((f1, 3, args.size, args.size), jnp.float32)
@@ -112,7 +125,8 @@ def main():
 
         qt_spec = jax.eval_shape(quant_ops.quantize_params, amd_params)
         vqt_spec = jax.eval_shape(
-            partial(quant_ops.quantize_params, scope=None), vae_params)
+            partial(quant_ops.quantize_params, scope=("decoder",)),
+            vae_params)
 
         def serve(vae_params, amd_params, qt, vqt, pixels, grey, key):
             return _recon_clip(vae, model, vae_params, amd_params, pixels,

@@ -671,12 +671,11 @@ def sample(model, params, key, ref_motion, frames: int,
         return model.apply(params, zt, ref_motion, tstep, method="velocity",
                            **cond)
 
+    from ..ops.quant import maybe_quantized
+
     integrate = rf.heun_sample if solver == "heun" else rf.euler_sample
-    if quant_table:
-        from ..ops.quant import quantized_calls
-        with quantized_calls(quant_table):
-            return integrate(vel_fn, z0, step_seq)
-    return integrate(vel_fn, z0, step_seq)
+    with maybe_quantized(quant_table):
+        return integrate(vel_fn, z0, step_seq)
 
 
 # Jitted entry point (module static, params traced; frame/step counts shape

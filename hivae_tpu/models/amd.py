@@ -968,10 +968,8 @@ def _euler_decode(model, params, zi, z0, motions, sample_step, start_step,
                            **motions)
 
     integrate = rf.heun_sample if solver == "heun" else rf.euler_sample
-    if quant_table:
-        with quant.quantized_calls(quant_table):
-            return integrate(vel_fn, z_start, step_seq)
-    return integrate(vel_fn, z_start, step_seq)
+    with quant.maybe_quantized(quant_table):
+        return integrate(vel_fn, z_start, step_seq)
 
 
 # -----------------------------------------------------------------------------

@@ -148,17 +148,17 @@ def vae_decode(vae: AutoencoderKL, params, latents: jax.Array,
                quant_table=None) -> jax.Array:
     """(N,T,latent,h,w) scaled latents -> (N,T,C,H,W) pixels in [-1,1].
 
-    ``quant_table`` (``ops.quant.quantize_params(vae_params, scope=None)``)
-    runs the decoder's large convs and mid-block attention on the int8 MXU
-    — the w8a8 serving path; the sensitive boundary convs stay bf16.
+    ``quant_table`` (``ops.quant.quantize_params(vae_params,
+    scope=("decoder",))``) runs the decoder's large convs and mid-block
+    attention on the int8 MXU — the w8a8 serving path; the sensitive
+    boundary convs stay bf16, and the decoder scope keeps the table free
+    of encode-leg entries so ``strip_quantized`` stays safe for encode.
     """
+    from ..ops.quant import maybe_quantized
+
     n, t = latents.shape[:2]
     flat = latents.reshape((n * t,) + latents.shape[2:]) / scale
-    if quant_table:
-        from ..ops.quant import quantized_calls
-        with quantized_calls(quant_table):
-            img = vae.apply(params, flat, method="decode")
-    else:
+    with maybe_quantized(quant_table):
         img = vae.apply(params, flat, method="decode")
     return img.reshape((n, t) + img.shape[1:])
 

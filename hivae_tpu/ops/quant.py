@@ -48,18 +48,23 @@ only the Euler-loop DiT applies — motion encoding runs once per clip and
 stays in the compute dtype.
 
 ``nn.scan``-stacked layers (``scan_layers=True``) carry 3-D kernels the
-predicate skips; unstack such checkpoints first (:func:`unstack_scanned`)
-— the inference CLIs do this automatically under ``--quant int8``.
+interceptor cannot address (one shared module path serves every
+iteration); :func:`quantize_params` REFUSES such trees so a mostly-bf16
+"int8" table can't ship silently — unstack first
+(:func:`unstack_scanned`); the inference CLIs and ``export_sampler.py``
+do this automatically under ``--quant int8``.
 """
 
+import contextlib
 from typing import Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_params", "quantized_calls", "quant_dense", "quant_conv",
-           "strip_quantized", "unstack_scanned", "default_predicate"]
+__all__ = ["quantize_params", "quantized_calls", "maybe_quantized",
+           "quant_dense", "quant_conv", "strip_quantized",
+           "unstack_scanned", "default_predicate"]
 
 # Dense names never quantized regardless of size: AdaLN modulation
 # ("linear"), timestep-embedding MLP ("linear_1/2").
@@ -125,6 +130,15 @@ def quantize_params(params, predicate: Optional[Callable] = None,
         mod_path = path[:-1]
         if scope is not None and mod_path[:len(scope)] != tuple(scope):
             continue
+        if hasattr(leaf, "ndim") and leaf.ndim == 3:
+            # a 3-D Dense kernel is an nn.scan-stacked layer: the
+            # interceptor addresses modules by path, and the stacked layout
+            # serves every iteration through ONE path — quantizing around
+            # it would silently ship a mostly-bf16 "int8" model
+            raise ValueError(
+                f"{'/'.join(mod_path)} is an nn.scan-stacked kernel "
+                "(scan_layers=True); convert with unstack_scanned() and "
+                "serve the unrolled layout under quantization")
         if not pred(mod_path, leaf):
             continue
         w8, scale = _quantize_kernel(leaf)
@@ -163,6 +177,18 @@ def quant_dense(x: jax.Array, w8: jax.Array, scale: jax.Array,
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+def maybe_quantized(quant_table: Optional[Dict[str, Dict]]):
+    """``quantized_calls(table)`` when a table is given, else a null
+    context — lets call sites keep ONE code path:
+
+        with maybe_quantized(qt):
+            return integrate(...)
+    """
+    if quant_table:
+        return quantized_calls(quant_table)
+    return contextlib.nullcontext()
 
 
 def quant_conv(x: jax.Array, w8: jax.Array, scale: jax.Array,

@@ -192,26 +192,31 @@ def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
         quant_table=quant_table)[1]
 
 
+_QUANT_SCOPES = {
+    # each table covers EXACTLY the modules its wrapped serving leg runs:
+    # dead entries would waste HBM and make strip_quantized strip kernels
+    # an unwrapped leg still reads
+    "dit": ("diffusion_transformer",),   # AMD Euler loop
+    "vae": ("decoder",),                 # decode leg only; encode stays bf16
+    "a2m": ("diffusion",),               # A2M Euler loop; conditioning bf16
+}
+
+
 def _build_quant_table(quant, params, scope="dit", allow_empty=False):
     """``quant='int8'`` -> w8a8 table (``ops/quant.py``); built as ONE
     jitted program (eager per-leaf quant would be per-op dispatch on
-    relayed runtimes). ``scope='dit'`` covers the DiT's big projections;
-    ``scope='vae'``/``'a2m'`` cover the whole tree (the VAE decoder's
-    convs + mid-block attention; the A2M head's projections — only the
-    legs wrapped in ``quantized_calls`` actually run int8).
-    ``allow_empty``: a model whose layers all fall below the size
-    predicate serves unquantized (None) instead of raising — the A2M head
-    can legitimately be tiny."""
+    relayed runtimes). ``allow_empty``: a model whose layers all fall
+    below the size predicate serves unquantized (None) instead of raising
+    — the A2M head can legitimately be tiny."""
     if quant is None:
         return None
     if quant != "int8":
         raise ValueError(f"unknown quant mode {quant!r}; use 'int8' or None")
-    fn = (quant_ops.quantize_params if scope == "dit"
-          else partial(quant_ops.quantize_params, scope=None))
+    fn = partial(quant_ops.quantize_params, scope=_QUANT_SCOPES[scope])
     try:
         return jax.jit(fn)(params)
-    except ValueError:
-        if allow_empty:
+    except ValueError as e:
+        if allow_empty and "matched no kernels" in str(e):
             print(f"quant: no {scope} layers clear the int8 size "
                   "predicate; that leg serves in the compute dtype")
             return None
@@ -236,6 +241,14 @@ class AMDReconstructionPipeline:
         self.sample_size = sample_size
         self.quant_table = _build_quant_table(quant, amd_params)
         self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
+        # serving holds int8 + scales in the tables; drop the covered bf16
+        # kernels (-454 MB at 696M) — the interceptor never reads them
+        if self.quant_table:
+            self.amd_params = quant_ops.strip_quantized(amd_params,
+                                                        self.quant_table)
+        if self.vae_quant_table:
+            self.vae_params = quant_ops.strip_quantized(vae_params,
+                                                        self.vae_quant_table)
 
     def _load_clip(self, video_path: str, fps: int):
         total, video_fps = vio.video_metadata(video_path)
@@ -448,6 +461,12 @@ class GTMotionAblationPipeline:
         self.sample_size = sample_size
         self.quant_table = _build_quant_table(quant, amd_params)
         self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
+        if self.quant_table:
+            self.amd_params = quant_ops.strip_quantized(amd_params,
+                                                        self.quant_table)
+        if self.vae_quant_table:
+            self.vae_params = quant_ops.strip_quantized(vae_params,
+                                                        self.vae_quant_table)
 
     def reconstruct(self, video_path: str, output_path: Optional[str] = None,
                     num_windows: int = 2, video_sample_step: int = 10,
@@ -513,9 +532,11 @@ class ImageAudio2VideoPipeline:
         intent). Trades an extra motion-encoder call per window for
         grounding the motion chain in the decoded video.
 
-        ``quant='int8'``: run the AMD DiT's video-decoding Euler loop on
-        the int8 MXU (``ops/quant.py``); the A2M motion head (small, few
-        tokens) stays in the compute dtype."""
+        ``quant='int8'``: run the AMD DiT's video-decoding Euler loop,
+        the A2M head's motion Euler loop and the VAE decode leg on the
+        int8 MXU (``ops/quant.py``); the one-shot conditioning paths
+        (motion extraction, audio encoding, VAE encode) stay in the
+        compute dtype."""
         self.vae = vae
         self.vae_params = vae_params
         self.amd_model = amd_model
@@ -530,6 +551,15 @@ class ImageAudio2VideoPipeline:
         self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
         self.a2m_quant_table = _build_quant_table(quant, a2m_params, "a2m",
                                                   allow_empty=True)
+        if self.quant_table:
+            self.amd_params = quant_ops.strip_quantized(amd_params,
+                                                        self.quant_table)
+        if self.vae_quant_table:
+            self.vae_params = quant_ops.strip_quantized(vae_params,
+                                                        self.vae_quant_table)
+        if self.a2m_quant_table:
+            self.a2m_params = quant_ops.strip_quantized(a2m_params,
+                                                        self.a2m_quant_table)
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:

@@ -138,6 +138,27 @@ class TestReconstructionPipeline:
         diff = np.abs(q.astype(np.int32) - base.astype(np.int32))
         assert float(np.mean(diff)) < 16.0, float(np.mean(diff))
 
+    def test_quant_strips_served_trees(self, tiny_stack, video_file,
+                                       monkeypatch):
+        """quant='int8' drops the covered bf16 kernels from the serving
+        trees at construction (the documented -454 MB), and the stripped
+        pipeline still samples."""
+        from hivae_tpu.ops import quant as quant_ops
+        from hivae_tpu.ops.quant import default_predicate as real_pred
+        monkeypatch.setattr(quant_ops, "default_predicate",
+                            lambda p, k: real_pred(p, k, min_dim=8))
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],
+            tiny_stack["amd_params"], window=W, use_grey=True,
+            sample_size=SIZE, quant="int8")
+        n_full = len(jax.tree_util.tree_leaves(tiny_stack["amd_params"]))
+        n_strip = len(jax.tree_util.tree_leaves(pipe.amd_params))
+        assert n_strip == n_full - len(pipe.quant_table)
+        assert pipe.vae_quant_table and all(
+            k.startswith("decoder") for k in pipe.vae_quant_table)
+        out = pipe.sample(video_file, video_sample_step=2)
+        assert out.shape == (W + 1, 3, SIZE, SIZE)
+
     def test_cross(self, tiny_stack, video_file):
         pipe = AMDCrossVideoPipeline(
             tiny_stack["vae"], tiny_stack["vae_params"], tiny_stack["amd"],

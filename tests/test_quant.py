@@ -305,3 +305,20 @@ class TestA2MQuant:
         assert not np.array_equal(np.asarray(q), np.asarray(fp))
         rel = float(jnp.linalg.norm(q - fp) / jnp.linalg.norm(fp))
         assert rel < 0.2, rel
+
+
+class TestScanStackedRefusal:
+    def test_quantize_params_refuses_stacked_tree(self, tiny_amd):
+        """A scan_layers tree must fail LOUDLY (a table built around the
+        3-D stacked kernels would silently serve the transformer in bf16
+        while claiming int8)."""
+        model, _ = tiny_amd
+        cfg_sc = amd_mod.AMDConfig(
+            **{**{f.name: getattr(model.cfg, f.name)
+                  for f in model.cfg.__dataclass_fields__.values()},
+               "scan_layers": True})
+        scanned = amd_mod.AMDModelNew(cfg=cfg_sc)
+        v = jnp.zeros((1, W, 4, LAT, LAT))
+        p_sc = scanned.init({"params": KEY, "noise": KEY}, v, v, v, v)
+        with pytest.raises(ValueError, match="scan"):
+            quant.quantize_params(p_sc, predicate=tiny_pred)
