@@ -56,6 +56,7 @@ do this automatically under ``--quant int8``.
 """
 
 import contextlib
+from collections.abc import Mapping
 from typing import Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -102,7 +103,7 @@ def _quantize_kernel(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _walk(tree, path=()):
-    if isinstance(tree, dict):
+    if isinstance(tree, Mapping):  # plain dict or flax FrozenDict
         for k, v in tree.items():
             yield from _walk(v, path + (k,))
     else:
@@ -122,7 +123,8 @@ def quantize_params(params, predicate: Optional[Callable] = None,
     tree.
     """
     pred = predicate or default_predicate
-    tree = params.get("params", params) if isinstance(params, dict) else params
+    tree = (params.get("params", params)
+            if isinstance(params, Mapping) else params)
     table: Dict[str, Dict] = {}
     for path, leaf in _walk(tree):
         if path[-1] != "kernel":
@@ -279,23 +281,29 @@ def quantized_calls(quant_table: Dict[str, Dict]):
 
 
 def strip_quantized(params, quant_table: Dict[str, Dict]):
-    """Drop the float kernels of quantized layers from the param tree (the
-    interceptor never reads them): the serving tree carries int8 + scales
-    in the table and bf16/fp32 for everything else."""
+    """Drop the float kernels — and the biases the table carries a copy of
+    — of quantized layers from the param tree (the interceptor never reads
+    them): the serving tree holds int8 + scales in the table and bf16/fp32
+    for everything else. Accepts plain dicts or flax FrozenDicts (returns
+    plain dicts, which flax ``apply`` accepts)."""
     quantized = {tuple(k.split("/")) for k in quant_table}
+    with_bias = {tuple(k.split("/")) for k, e in quant_table.items()
+                 if "bias" in e}
 
     def prune(tree, path=()):
-        if not isinstance(tree, dict):
+        if not isinstance(tree, Mapping):
             return tree
         out = {}
         for k, v in tree.items():
             p = path + (k,)
             if k == "kernel" and path in quantized:
                 continue
+            if k == "bias" and path in with_bias:
+                continue
             out[k] = prune(v, p)
         return out
 
-    if isinstance(params, dict) and "params" in params:
+    if isinstance(params, Mapping) and "params" in params:
         return {**params, "params": prune(params["params"])}
     return prune(params)
 

@@ -27,6 +27,7 @@ arguments, not HLO constants).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -217,10 +218,26 @@ def _build_quant_table(quant, params, scope="dit", allow_empty=False):
         return jax.jit(fn)(params)
     except ValueError as e:
         if allow_empty and "matched no kernels" in str(e):
-            print(f"quant: no {scope} layers clear the int8 size "
-                  "predicate; that leg serves in the compute dtype")
+            warnings.warn(
+                f"quant: no {scope} layers clear the int8 size predicate; "
+                "that leg serves in the compute dtype", stacklevel=2)
             return None
         raise
+
+
+def _init_quant(quant, trees, allow_empty=()):
+    """Build one table per (scope -> params) entry and strip the covered
+    bf16 kernels+biases from the serving trees (the interceptor reads the
+    table, never the module's own params — the advertised HBM cut).
+    Returns ``(tables, stripped_trees)`` keyed like ``trees``."""
+    tables, stripped = {}, {}
+    for scope, params in trees.items():
+        t = _build_quant_table(quant, params, scope,
+                               allow_empty=scope in allow_empty)
+        tables[scope] = t
+        stripped[scope] = (quant_ops.strip_quantized(params, t)
+                           if t else params)
+    return tables, stripped
 
 
 class AMDReconstructionPipeline:
@@ -239,16 +256,12 @@ class AMDReconstructionPipeline:
         self.window = window
         self.use_grey = use_grey
         self.sample_size = sample_size
-        self.quant_table = _build_quant_table(quant, amd_params)
-        self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
-        # serving holds int8 + scales in the tables; drop the covered bf16
-        # kernels (-454 MB at 696M) — the interceptor never reads them
-        if self.quant_table:
-            self.amd_params = quant_ops.strip_quantized(amd_params,
-                                                        self.quant_table)
-        if self.vae_quant_table:
-            self.vae_params = quant_ops.strip_quantized(vae_params,
-                                                        self.vae_quant_table)
+        tables, trees = _init_quant(
+            quant, {"dit": amd_params, "vae": vae_params})
+        self.quant_table = tables["dit"]
+        self.vae_quant_table = tables["vae"]
+        self.amd_params = trees["dit"]
+        self.vae_params = trees["vae"]
 
     def _load_clip(self, video_path: str, fps: int):
         total, video_fps = vio.video_metadata(video_path)
@@ -459,14 +472,12 @@ class GTMotionAblationPipeline:
         self.amd_params = amd_params
         self.window = window
         self.sample_size = sample_size
-        self.quant_table = _build_quant_table(quant, amd_params)
-        self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
-        if self.quant_table:
-            self.amd_params = quant_ops.strip_quantized(amd_params,
-                                                        self.quant_table)
-        if self.vae_quant_table:
-            self.vae_params = quant_ops.strip_quantized(vae_params,
-                                                        self.vae_quant_table)
+        tables, trees = _init_quant(
+            quant, {"dit": amd_params, "vae": vae_params})
+        self.quant_table = tables["dit"]
+        self.vae_quant_table = tables["vae"]
+        self.amd_params = trees["dit"]
+        self.vae_params = trees["vae"]
 
     def reconstruct(self, video_path: str, output_path: Optional[str] = None,
                     num_windows: int = 2, video_sample_step: int = 10,
@@ -547,19 +558,15 @@ class ImageAudio2VideoPipeline:
         self.ref_frames = a2m_ref_num_frame
         self.sample_size = sample_size
         self.need_motion_extract_model = need_motion_extract_model
-        self.quant_table = _build_quant_table(quant, amd_params)
-        self.vae_quant_table = _build_quant_table(quant, vae_params, "vae")
-        self.a2m_quant_table = _build_quant_table(quant, a2m_params, "a2m",
-                                                  allow_empty=True)
-        if self.quant_table:
-            self.amd_params = quant_ops.strip_quantized(amd_params,
-                                                        self.quant_table)
-        if self.vae_quant_table:
-            self.vae_params = quant_ops.strip_quantized(vae_params,
-                                                        self.vae_quant_table)
-        if self.a2m_quant_table:
-            self.a2m_params = quant_ops.strip_quantized(a2m_params,
-                                                        self.a2m_quant_table)
+        tables, trees = _init_quant(
+            quant, {"dit": amd_params, "vae": vae_params,
+                    "a2m": a2m_params}, allow_empty=("a2m",))
+        self.quant_table = tables["dit"]
+        self.vae_quant_table = tables["vae"]
+        self.a2m_quant_table = tables["a2m"]
+        self.amd_params = trees["dit"]
+        self.vae_params = trees["vae"]
+        self.a2m_params = trees["a2m"]
         assert window >= a2m_ref_num_frame
 
     def _pad_ref(self, x: jax.Array) -> jax.Array:
@@ -643,11 +650,13 @@ class ImageAudio2VideoPipeline:
 
     def _sample_motion(self, key, ref_motion, audio, ref_audio, steps):
         """One A2M sampling call; ref motion reduced to the last frame's
-        tokens (the cross-attn A2M conditions on a single ref-motion set)."""
+        tokens (the cross-attn A2M conditions on a single ref-motion set).
+        Threads the a2m quant table — the stripped serving tree has no
+        bf16 kernels for the covered layers."""
         return a2m_mod.sample_jit(
             self.a2m_model, self.a2m_params, key, ref_motion[:, -1],
             frames=audio.shape[1], sample_step=steps, audio=audio,
-            ref_audio=ref_audio[:, -1])
+            ref_audio=ref_audio[:, -1], quant_table=self.a2m_quant_table)
 
     def sample(self, refimg_path: str, audio_emb: np.ndarray,
                output_path: Optional[str] = None,

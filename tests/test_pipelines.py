@@ -153,7 +153,8 @@ class TestReconstructionPipeline:
             sample_size=SIZE, quant="int8")
         n_full = len(jax.tree_util.tree_leaves(tiny_stack["amd_params"]))
         n_strip = len(jax.tree_util.tree_leaves(pipe.amd_params))
-        assert n_strip == n_full - len(pipe.quant_table)
+        n_biased = sum(1 for e in pipe.quant_table.values() if "bias" in e)
+        assert n_strip == n_full - len(pipe.quant_table) - n_biased
         assert pipe.vae_quant_table and all(
             k.startswith("decoder") for k in pipe.vae_quant_table)
         out = pipe.sample(video_file, video_sample_step=2)

@@ -123,7 +123,9 @@ class TestQuantizedSampling:
         stripped = quant.strip_quantized(params, table)
         n_full = len(jax.tree_util.tree_leaves(params))
         n_strip = len(jax.tree_util.tree_leaves(stripped))
-        assert n_strip == n_full - len(table)
+        # kernels AND the biases the table carries copies of are dropped
+        n_biased = sum(1 for e in table.values() if "bias" in e)
+        assert n_strip == n_full - len(table) - n_biased
         v = jax.random.normal(KEY, (1, W, 4, LAT, LAT))
         ref = jnp.broadcast_to(v[:, :1], v.shape)
         common = dict(video_grey=v, ref_img_grey=ref, sample_step=2,
