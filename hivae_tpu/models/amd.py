@@ -258,8 +258,14 @@ class AMDModelNew(nn.Module):
                 lf = lf * camera_mask
             lf_video = lf[:, t:]
         else:
-            lf_video = (jnp.concatenate([ref_img_grey, video_grey], axis=1)[:, t:]
-                        if c.use_grey else video)
+            if c.use_mask:
+                raise ValueError(
+                    "cfg.use_mask=True requires cfg.use_filter=True: the "
+                    "camera_mask multiplies the LOW-FREQUENCY band "
+                    "(reference model_AMD.py:314), which only exists under "
+                    "the FFT split — without it the mask would be "
+                    "silently dropped")
+            lf_video = video_grey if c.use_grey else video
 
         camera_site_mask = None
         if c.use_camera:
@@ -630,7 +636,8 @@ class AMDModel(nn.Module):
                  **_):
         if self.cfg.diffusion_model_type == "dual":
             return self.diffusion_transformer(
-                camera_source + object_source, camera_target + object_target,
+                _sum_streams(camera_source, object_source),
+                _sum_streams(camera_target, object_target),
                 image_hidden_states, timestep)
         return self.diffusion_transformer(
             camera_target, image_hidden_states, timestep,
@@ -816,9 +823,21 @@ def decode(model: nn.Module, params, key: jax.Array, ref_img,
     ``video`` (the target latents) is only needed when ``start_step`` is
     below the scheduler range — the walk then starts from the partially
     noised target, as the reference's ``decode`` does with its ``video``
-    argument (``:2468,2479``)."""
+    argument (``:2468,2479``).
+
+    ``frames``: a single reference frame (N,1,C,H,W) is tiled to this
+    length so it pairs with (N,frames,...) motion tokens; a pre-tiled
+    ref_img must already match ``frames``."""
     cfg: AMDConfig = model.cfg
     n, t = ref_img.shape[:2]
+    if t == 1 and frames > 1:
+        ref_img = jnp.broadcast_to(
+            ref_img, (n, frames) + ref_img.shape[2:])
+        t = frames
+    if t != frames:
+        raise ValueError(
+            f"decode: ref_img carries {t} frames but frames={frames}; "
+            "pass a single frame (tiled here) or a matching clip")
     start = cfg.scheduler_num_step if start_step is None else start_step
     zi = ref_img.reshape((n * t,) + ref_img.shape[2:])
     z1 = None if video is None else video.reshape((n * t,) + video.shape[2:])
@@ -826,6 +845,18 @@ def decode(model: nn.Module, params, key: jax.Array, ref_img,
     zt = _euler_decode(model, params, zi, z0, motions, sample_step, start,
                        z1=z1, solver=solver, quant_table=quant_table)
     return zt.reshape((n, t) + zt.shape[1:])
+
+
+def _sum_streams(a, b):
+    """camera+object sum that tolerates a single stream — the
+    refimg-motion path carries its tokens in ONE stream (reference
+    ``sample_with_refimg_motion:819`` passes a single source/target pair
+    to the DiT regardless of motion_type)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
 
 
 def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
@@ -848,8 +879,19 @@ def sample_with_refimg_motion(model, params, key: jax.Array, ref_img,
     if mask_ratio is not None:
         key, kmask = jax.random.split(key)
         enc_rngs = {"rngs": {"mask": kmask}}
-    src = model.apply(params, ref_img[:, None], mask_ratio,
-                      method="extract_motion", **enc_rngs)
+    if isinstance(model, AMDModelNew) or not cfg.use_motiontemporal:
+        enc_in = ref_img[:, None]           # per-frame spatial encoder
+        take = slice(None)
+    else:
+        # the pair-temporal encoder needs cat(ref, target) with an even
+        # frame axis; a (ref, ref) pair's target-half tokens are "the
+        # motion of the reference frame" — a single frame is otherwise
+        # unencodable by this variant
+        enc_in = jnp.concatenate([ref_img[:, None], ref_img[:, None]],
+                                 axis=1)
+        take = slice(1, None)
+    src = model.apply(params, enc_in, mask_ratio,
+                      method="extract_motion", **enc_rngs)[:, take]
     source_motion = jnp.broadcast_to(src, (n, t, l, d)).reshape(n * t, l, d)
     # reference :783 (the one executable motion-transformer branch): the
     # provided target tokens run through the sequence transformer unless

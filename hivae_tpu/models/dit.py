@@ -185,8 +185,15 @@ class VelocityDiT(_DiTBase):
                   for i in range(self.num_layers)]
 
         if self.motion_type == "plus":
-            src = motion_embed(camera_motion_source + object_motion_source)
-            tgt = motion_embed(camera_motion_target + object_motion_target)
+            # either stream may ride alone (refimg-motion sampling passes a
+            # single source/target pair, reference model_AMD.py:819)
+            def _sum(a, b):
+                return a if b is None else (b if a is None else a + b)
+
+            src = motion_embed(_sum(camera_motion_source,
+                                    object_motion_source))
+            tgt = motion_embed(_sum(camera_motion_target,
+                                    object_motion_target))
             motion = jnp.concatenate([src_tok, src, tgt_tok, tgt], axis=1) + mpos
             for blk in blocks:
                 motion, img = blk(motion, img, emb)
@@ -394,7 +401,12 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
                  tgt_tok, obj_embed(object_motion_target)], axis=1)
             motion = motion + _pos1d(hidden, msl, self.dtype)
 
-        if self.scan_layers and motion is not None and cam is not None:
+        if self.scan_layers and (motion is not None or cam is not None):
+            # single-stream sampling (sample_cross: camera only;
+            # sample_with_refimg_motion: object only) rides the same scan:
+            # the static use_* flags skip the absent block, None threads
+            # through the carry unchanged, and flax ignores the unused
+            # stacked block params in the checkpoint tree
             layer_cls = nn.remat(_SpatialTempLayer, prevent_cse=False,
                                  **self._remat_kwargs()) \
                 if self.remat else _SpatialTempLayer
@@ -407,7 +419,8 @@ class VelocityDiTImgSpatialTempMotion(_DiTBase):
             carry = (motion, cam, img, emb, emb_s, cam_mask)
             (motion, cam, img, emb, emb_s, cam_mask), _ = Stacked(
                 hidden=hidden, heads=self.heads, head_dim=self.head_dim,
-                n=n, t=t, s=s, use_object=True, use_camera=True,
+                n=n, t=t, s=s, use_object=motion is not None,
+                use_camera=cam is not None,
                 name="layers", dtype=self.dtype)(carry, None)
         else:
             for i in range(self.num_layers):

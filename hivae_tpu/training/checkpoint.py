@@ -89,7 +89,12 @@ class CheckpointManager:
         if blocking:
             self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
-            self._rotate()
+            # count the (possibly still uncommitted) new save toward the
+            # limit: an async save is invisible to the directory listing
+            # until it commits, and rotating without it would keep
+            # max_to_keep OLD checkpoints plus the in-flight one — a full
+            # TrainState directory over the configured disk budget
+            self._rotate(pending_step=step)
         return path
 
     def wait(self) -> None:
@@ -107,14 +112,19 @@ class CheckpointManager:
         path = find_latest_checkpoint(self.directory)
         return checkpoint_step(path) if path else None
 
-    def _rotate(self) -> None:
-        ckpts: List[str] = []
+    def _rotate(self, pending_step: Optional[int] = None) -> None:
+        steps = []
         for name in os.listdir(self.directory):
             if _CKPT_RE.fullmatch(name):
-                ckpts.append(name)
-        ckpts.sort(key=lambda n: int(_CKPT_RE.fullmatch(n).group(1)))
-        for name in ckpts[:-self.max_to_keep] if self.max_to_keep else []:
-            shutil.rmtree(os.path.join(self.directory, name),
+                steps.append(int(_CKPT_RE.fullmatch(name).group(1)))
+        if pending_step is not None and pending_step not in steps:
+            steps.append(pending_step)
+        steps.sort()
+        doomed = steps[:-self.max_to_keep] if self.max_to_keep else []
+        for s in doomed:
+            if s == pending_step:
+                continue  # never delete the save in flight
+            shutil.rmtree(os.path.join(self.directory, f"checkpoint-{s}"),
                           ignore_errors=True)
 
 

@@ -69,9 +69,15 @@ def make_optimizer(learning_rate: float = 1e-4,
     wraps the chain in optax.MultiSteps (reference
     ``--gradient_accumulation_steps``)."""
     if schedule == "constant":
-        sched = optax.join_schedules(
-            [optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
-             optax.constant_schedule(learning_rate)], [max(warmup_steps, 1)])
+        if warmup_steps > 0:
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                 optax.constant_schedule(learning_rate)], [warmup_steps])
+        else:
+            # no fake 1-step warmup: the reference's diffusers 'constant'
+            # schedule applies the full LR from step 0 (a linear leg of
+            # length 1 would zero the first update)
+            sched = optax.constant_schedule(learning_rate)
     elif schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, total_steps or 10 ** 6)

@@ -279,3 +279,100 @@ class TestStartStep:
                                    ref, sample_step=2)
         err_full = float(amd.l2(zt_full, video))
         assert err_low < err_full  # starting nearer the target must help
+
+
+class TestReviewFixes:
+    """Round-3 review findings: single-stream plus/dual refimg-motion
+    sampling, scan-layers single-stream serving, decode() frame tiling,
+    and the use_mask-without-filter guard."""
+
+    def test_refimg_motion_plus_default(self):
+        """AMDModel (motion_type='plus', default DiT): the provided tokens
+        ride as the single motion stream (reference model_AMD.py:819)."""
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True,
+                            diffusion_model_type="default",
+                            motion_type="plus", **TINY)
+        model = amd.AMDModel(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        motion = model.apply(params, video, method="extract_motion")
+        zi, zt = amd.sample_with_refimg_motion(model, params, KEY, ref[:, 0],
+                                               motion, sample_step=2)
+        assert zt.shape == video.shape
+        assert bool(jnp.all(jnp.isfinite(zt)))
+
+    def test_refimg_motion_dual(self):
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True,
+                            diffusion_model_type="dual", **TINY)
+        model = amd.AMDModel(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        motion = model.apply(params, video, method="extract_motion")
+        zi, zt = amd.sample_with_refimg_motion(model, params, KEY, ref[:, 0],
+                                               motion, sample_step=2)
+        assert zt.shape == video.shape
+
+    def test_scan_layers_single_stream(self):
+        """A scan_layers spatial checkpoint serves the single-stream paths
+        (sample_cross: camera only; refimg-motion: object only) with
+        numerics equal to the unrolled layout on the unstacked params."""
+        from hivae_tpu.ops.quant import unstack_scanned
+
+        cfg_sc = amd.AMDConfig(use_filter=True, use_grey=True,
+                               diffusion_model_type="spatial",
+                               scan_layers=True, **TINY)
+        scanned = amd.AMDModelNew(cfg=cfg_sc)
+        video, ref = _data()
+        p_sc = scanned.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        # camera-only (sample_cross)
+        zi, zt, zj = amd.sample_cross(scanned, p_sc, KEY, video, video, ref,
+                                      video_grey_1=video, video_grey_2=video,
+                                      ref_img_grey=ref, sample_step=2)
+        assert zt.shape == video.shape
+        # object-only (refimg-motion)
+        motion = scanned.apply(p_sc, video, method="extract_motion")
+        _, zt_o = amd.sample_with_refimg_motion(scanned, p_sc, KEY,
+                                                ref[:, 0], motion,
+                                                sample_step=2)
+        # parity vs the unrolled layout
+        unrolled = amd.AMDModelNew(cfg=amd.AMDConfig(
+            use_filter=True, use_grey=True, diffusion_model_type="spatial",
+            scan_layers=False, **TINY))
+        p_un = {"params": unstack_scanned(p_sc["params"],
+                                          cfg_sc.diffusion_num_layers)}
+        _, zt_u = amd.sample_with_refimg_motion(unrolled, p_un, KEY,
+                                                ref[:, 0], motion,
+                                                sample_step=2)
+        np.testing.assert_allclose(np.asarray(zt_o), np.asarray(zt_u),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_decode_tiles_single_ref_frame(self):
+        cfg = amd.AMDConfig(use_filter=True, use_grey=True,
+                            diffusion_model_type="spatial", **TINY)
+        model = amd.AMDModelNew(cfg=cfg)
+        video, ref = _data()
+        params = model.init({"params": KEY, "noise": KEY}, video, ref,
+                            video, ref)
+        cam_t, obj_s, obj_t = model.apply(params, video, ref, video, ref,
+                                          method="encode")
+        motions = dict(camera_target=cam_t, object_source=obj_s,
+                       object_target=obj_t)
+        out = amd.decode(model, params, KEY, ref[:, :1], motions, frames=4,
+                         sample_step=2)
+        assert out.shape == video.shape
+        with pytest.raises(ValueError, match="frames"):
+            amd.decode(model, params, KEY, ref[:, :2], motions, frames=4,
+                       sample_step=2)
+
+    def test_use_mask_requires_filter(self):
+        cfg = amd.AMDConfig(use_filter=False, use_grey=True, use_mask=True,
+                            diffusion_model_type="spatial", **TINY)
+        model = amd.AMDModelNew(cfg=cfg)
+        video, ref = _data()
+        mask = jnp.ones((2, 8, 4, 16, 16))
+        with pytest.raises(ValueError, match="use_filter"):
+            model.init({"params": KEY, "noise": KEY}, video, ref, video,
+                       ref, camera_mask=mask)

@@ -114,6 +114,7 @@ class TestStreamingSchedule:
     @pytest.mark.parametrize("shape,blocks", [
         ((1, 2, 200, 32), (64, 64)),    # 4x4 kv grid, ragged tail
         ((2, 2, 128, 16), (32, 64)),    # uneven bq/bk
+        ((1, 4, 160, 96), (64, 64)),    # AMD_L head_dim=96, hb>1
     ])
     def test_streaming_matches_xla(self, monkeypatch, shape, blocks):
         FA = self._fa(monkeypatch, *blocks)
