@@ -59,7 +59,10 @@ def main():
 
         model = WhisperModel.from_pretrained(args.whisper_path)
         model.eval()
-    fallback = AudioProcessor()
+    # whisper-tiny contract: (T, blocks, 384); the fallback must emit the
+    # same per-frame width (one feature set, not wav2vec's 13 states)
+    fallback = AudioProcessor(features_per_frame=384,
+                              only_last_features=True)
 
     os.makedirs(args.output_dir, exist_ok=True)
     videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),

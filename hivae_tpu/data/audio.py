@@ -43,10 +43,16 @@ class AudioProcessor:
 
     def __init__(self, model_path: Optional[str] = None,
                  sampling_rate: int = 16000, features_per_frame: int = 768,
-                 only_last_features: bool = False):
+                 only_last_features: bool = False,
+                 num_hidden_states: int = 13):
         self.sampling_rate = sampling_rate
         self.only_last_features = only_last_features
         self.features_per_frame = features_per_frame
+        # wav2vec2-base emits 13 hidden states (12 layers + embeddings);
+        # the fallback must honor the SAME width contract as the real
+        # model or pipelines dimensioned in one environment crash in the
+        # other
+        self.num_hidden_states = num_hidden_states
         self.model = None
         if model_path and os.path.exists(model_path):
             from transformers import Wav2Vec2Model
@@ -78,7 +84,8 @@ class AudioProcessor:
                           window=torch.hann_window(n_fft))
         logmag = torch.log1p(spec.abs()).T[None]  # (1, T, F)
         feats = linear_interpolation(logmag, video_frames)[0]
-        d = self.features_per_frame
+        d = self.features_per_frame * (1 if self.only_last_features
+                                       else self.num_hidden_states)
         reps = -(-d // feats.shape[-1])
         return feats.repeat(1, reps)[:, :d].numpy()
 
@@ -99,11 +106,18 @@ def read_wav(path: str, target_rate: int = 16000) -> np.ndarray:
     from scipy.io import wavfile
 
     rate, data = wavfile.read(path)
-    data = np.asarray(data, np.float32)
+    # scale by the SOURCE dtype, not a magnitude heuristic: int32 PCM
+    # divided by 32768 would span +-65536 and uint8 carries a +128 offset
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:  # float wavs are already in [-1, 1]
+        data = np.asarray(data, np.float32)
     if data.ndim == 2:
         data = data.mean(axis=1)
-    if data.max() > 1.5:  # integer PCM
-        data = data / 32768.0
     if rate != target_rate:
         n_out = int(len(data) * target_rate / rate)
         x_old = np.linspace(0, 1, len(data))

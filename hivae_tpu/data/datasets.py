@@ -123,8 +123,12 @@ class VideoClipDataset:
             sample["ref_grey_img"] = np.repeat(grey[:1], videos.shape[0],
                                                axis=0)
         if self.use_mask:
+            # thread the dataset's seeded stream: flow_mask's white-window
+            # budget shuffle must be reproducible under the dataset seed
+            mask_rng = np.random.RandomState(self.rng.randrange(2 ** 31))
             cam, _ = flow_mask(frames[0], frames[-1],
-                               mask_video_ratio=self.mask_video_ratio)
+                               mask_video_ratio=self.mask_video_ratio,
+                               rng=mask_rng)
             cam = cam.astype(np.float32)
             h, w = self.mask_latent_size
             if cam.shape != (h, w):
@@ -297,6 +301,13 @@ class DataLoader:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
+        if self.num_shards > 1:
+            # pad by wrap-around so every shard sees the SAME number of
+            # items (torch DistributedSampler semantics): unequal shard
+            # lengths would deadlock cross-host collectives when one host
+            # runs a step the others never enter
+            total = -(-len(idx) // self.num_shards) * self.num_shards
+            idx = (idx + idx)[:total]
         return idx[self.shard_id::self.num_shards]
 
     def __len__(self):
@@ -317,14 +328,28 @@ class DataLoader:
         results: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item):
+            # bounded put that re-checks stop: an abandoned iterator
+            # (early break) must not leave workers blocked forever
+            while not stop.is_set():
+                try:
+                    results.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
         def worker():
             while not stop.is_set():
                 try:
                     bi, batch_idx = tasks.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[i] for i in batch_idx]
-                results.put((bi, _collate(samples)))
+                try:
+                    samples = [self.dataset[i] for i in batch_idx]
+                    _put((bi, _collate(samples)))
+                except Exception as e:  # noqa: BLE001 — surfaced below
+                    _put((bi, e))
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -340,6 +365,10 @@ class DataLoader:
                 if next_bi >= len(batches):
                     break
                 bi, batch = results.get()
+                if isinstance(batch, Exception):
+                    raise RuntimeError(
+                        f"DataLoader worker failed on batch {bi}"
+                    ) from batch
                 received[bi] = batch
         finally:
             stop.set()

@@ -90,11 +90,14 @@ def pixel_transform(frames: np.ndarray, size: int = 256) -> np.ndarray:
     x = torch.from_numpy(frames).permute(0, 3, 1, 2).float()
     x /= 255.0  # in-place: one 13 MB/clip allocation instead of three
     f, c, h, w = x.shape
-    # torchvision Resize semantics: scale shorter side to `size`
+    # torchvision Resize semantics: scale shorter side to `size`; the
+    # long side TRUNCATES (torchvision _compute_resized_output_size uses
+    # int(), not round()) — a 1-pixel difference shifts every antialiased
+    # sample and the center crop, breaking bit parity
     if h < w:
-        nh, nw = size, max(1, int(round(w * size / h)))
+        nh, nw = size, max(1, int(w * size / h))
     else:
-        nh, nw = max(1, int(round(h * size / w))), size
+        nh, nw = max(1, int(h * size / w)), size
     if (nh, nw) != (h, w):
         x = F.interpolate(x, size=(nh, nw), mode="bilinear",
                           antialias=True, align_corners=False)

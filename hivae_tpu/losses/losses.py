@@ -29,6 +29,13 @@ class LpipsMseLoss:
 
     Stateless callable: construct with the (frozen) VAE + LPIPS modules and
     their params; call with (video_gt, zj_pred, v_pred, v_gt).
+
+    This is the reference's standalone loss API (``loss.py:248-330``) for
+    library users; ``training/trainer.py`` intentionally does NOT call it —
+    the trainer composes the SAME perceptual leg inline over the model's
+    own loss dict (which already carries diff/rec/KL terms), keeping the
+    model's loss definition authoritative. A change to the perceptual
+    formula must be applied in both places.
     """
 
     def __init__(self, vae, vae_params, lpips, lpips_params,

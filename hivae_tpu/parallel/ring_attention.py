@@ -29,8 +29,7 @@ def _ring_attn_local(q, k, v, key_mask, axis_name: str, scale: float):
     b, h, s_loc, d = q.shape
     qf = q.astype(jnp.float32)
 
-    def step(i, carry):
-        out, m, denom, kk, vv, mk = carry
+    def accum(out, m, denom, kk, vv, mk):
         logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kk.astype(jnp.float32))
         logits = logits * scale
         # same finite mask value as the XLA path (-1e30, not -inf: keeps
@@ -42,18 +41,27 @@ def _ring_attn_local(q, k, v, key_mask, axis_name: str, scale: float):
         denom = denom * correction + jnp.sum(p, axis=-1, keepdims=True)
         out = out * correction + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vv.astype(jnp.float32))
+        return out, m_new, denom
+
+    def step(i, carry):
+        out, m, denom, kk, vv, mk = carry
+        out, m, denom = accum(out, m, denom, kk, vv, mk)
         # rotate KV (and its mask) to the next device
         perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
         kk = jax.lax.ppermute(kk, axis_name, perm)
         vv = jax.lax.ppermute(vv, axis_name, perm)
         mk = jax.lax.ppermute(mk, axis_name, perm)
-        return out, m_new, denom, kk, vv, mk
+        return out, m, denom, kk, vv, mk
 
     init = (jnp.zeros((b, h, s_loc, d), jnp.float32),
             jnp.full((b, h, s_loc, 1), -jnp.inf, jnp.float32),
             jnp.zeros((b, h, s_loc, 1), jnp.float32),
             k, v, key_mask)
-    out, m, denom, _, _, _ = jax.lax.fori_loop(0, n_dev, step, init)
+    # rotate only between blocks: the final block's rotation would move
+    # the full K/V/mask one ICI hop just to be discarded (3 wasted
+    # collectives per attention call x dozens of layers per step)
+    out, m, denom, kk, vv, mk = jax.lax.fori_loop(0, n_dev - 1, step, init)
+    out, m, denom = accum(out, m, denom, kk, vv, mk)
     return (out / denom).astype(q.dtype)
 
 

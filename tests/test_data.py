@@ -127,12 +127,32 @@ class TestDatasets:
         assert isinstance(batches[0]["name"], list)
 
     def test_loader_sharding(self, video_dir):
+        """Shards are padded to EQUAL length by wrap-around (torch
+        DistributedSampler semantics): unequal per-host batch counts would
+        deadlock cross-host collectives when one host runs a step the
+        others never enter."""
         ds = VideoClipDataset(video_dir, sample_n_frames=2, sample_size=32)
         d0 = DataLoader(ds, batch_size=1, shuffle=False, shard_id=0,
                         num_shards=2)
         d1 = DataLoader(ds, batch_size=1, shuffle=False, shard_id=1,
                         num_shards=2)
-        assert len(d0) + len(d1) == 3
+        assert len(d0) == len(d1) == 2  # 3 items -> padded to 4
+
+    def test_loader_worker_error_propagates(self, video_dir):
+        """A worker exception must surface in the consumer, not hang the
+        epoch forever on results.get()."""
+
+        class Broken(VideoClipDataset):
+            def __getitem__(self, i):
+                raise OSError("decode exploded")
+
+            def _get(self, i):  # bypass any retry wrapper
+                raise OSError("decode exploded")
+
+        ds = Broken(video_dir, sample_n_frames=2, sample_size=32)
+        loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            next(iter(loader))
 
 
 class TestVideoGrid:
