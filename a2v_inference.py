@@ -33,7 +33,10 @@ def parse_args():
     p.add_argument("--window", type=int, default=16)
     p.add_argument("--a2m_ref_num_frame", type=int, default=8)
     p.add_argument("--sample_size", type=int, default=256)
-    p.add_argument("--video_frames", type=int, default=16)
+    p.add_argument("--video_frames", type=int, default=None,
+                   help="AMD temporal geometry; defaults to --window "
+                        "(they must agree: the model is built for "
+                        "video_frames-frame windows)")
     p.add_argument("--motion_sample_step", type=int, default=8)
     p.add_argument("--video_sample_step", type=int, default=20)
     p.add_argument("--fps", type=int, default=25)
@@ -99,6 +102,13 @@ def load_a2m(args, dtype):
 
 def main():
     args = parse_args()
+    if args.video_frames is None:
+        args.video_frames = args.window
+    elif args.video_frames != args.window:
+        raise SystemExit(
+            f"--video_frames {args.video_frames} != --window "
+            f"{args.window}: the AMD model's temporal geometry must match "
+            "the pipeline's window (pass only --window)")
 
     from hivae_tpu.utils.cache import enable_compile_cache
 

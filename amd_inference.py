@@ -75,9 +75,9 @@ def load_amd(args, dtype):
         # mixing TPU-resident arrays into a CPU-eager init trips cross-
         # backend copies on relayed runtimes.
         key = jax.random.PRNGKey(0)
-        lat = cfg.image_height
+        lh, lw = cfg.image_height, cfg.image_width
         dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel,
-                           lat, lat))
+                           lh, lw))
         kw = dict(video_grey=dummy, ref_img_grey=dummy) if cfg.use_grey else {}
         return model.init({"params": key, "noise": key}, dummy, dummy, **kw)
 

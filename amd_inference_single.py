@@ -57,6 +57,13 @@ def main():
 
     use_grey = getattr(model.cfg, "use_grey", False)
     if args.diff_motion:
+        from hivae_tpu.models import amd as amd_lib
+        if isinstance(model, amd_lib.AMDModelNew):
+            raise SystemExit(
+                "--diff_motion requires the dual-encoder AMDModel "
+                "(--model_type AMD_S or AMD_L): sample_diff_motion's "
+                "encode_diff_motion only exists there (reference "
+                "AMDModel.sample_diff_motion:598)")
         pipe = AMDDiffMotionPipeline(vae, vae_params, model, params,
                                      window=args.video_frames,
                                      use_grey=use_grey)

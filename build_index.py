@@ -32,10 +32,11 @@ def parse_args():
 
 
 def _find_sidecar(root, name, exts):
-    for ext in exts:
-        cand = os.path.join(root, name + ext)
-        if os.path.exists(cand):
-            return cand
+    for stem in (name, name + "_emb"):  # tolerate legacy *_emb.npy files
+        for ext in exts:
+            cand = os.path.join(root, stem + ext)
+            if os.path.exists(cand):
+                return cand
     return None
 
 

@@ -46,8 +46,9 @@ def build_template(args):
         cfg = amd.AMDConfig.from_dict(cfg_dict)
         cls = amd.AMDModelNew if args.kind == "amd_new" else amd.AMDModel
         model = cls(cfg=cfg)
-        lat = cfg.image_height
-        dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel, lat, lat))
+        lh, lw = cfg.image_height, cfg.image_width
+        dummy = jnp.zeros((1, cfg.video_frames, cfg.image_inchannel,
+                           lh, lw))
         kw = dict(video_grey=dummy, ref_img_grey=dummy) if cfg.use_grey else {}
         return model.init({"params": key, "noise": key}, dummy, dummy, **kw)
 

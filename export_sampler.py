@@ -71,12 +71,12 @@ def main():
     model = amd_mod.AMDModelNew(cfg=cfg, dtype=jnp.bfloat16)
     vae = vae_mod.AutoencoderKL(dtype=jnp.bfloat16)
 
-    lat = cfg.image_height
+    lh, lw = cfg.image_height, cfg.image_width
     use_grey = cfg.use_grey
 
     def _init():
         key = jax.random.PRNGKey(0)
-        v = jnp.zeros((1, args.frames, 4, lat, lat))
+        v = jnp.zeros((1, args.frames, 4, lh, lw))
         amd_params = model.init({"params": key, "noise": key}, v, v,
                                 v if use_grey else None,
                                 v if use_grey else None)

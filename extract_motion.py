@@ -49,8 +49,11 @@ def main():
         state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
         vae_params, _ = convert_torch_state(vae_params, state, strict=False)
 
-    extract = jax.jit(lambda z: model.apply(params, z,
-                                            method="extract_motion"))
+    # the library wrapper keeps params a traced argument — a lambda
+    # closing over them would bake the checkpoint into the HLO as
+    # constants (models/vae.py jit-entry note)
+    from hivae_tpu.models.amd import extract_motion_jit
+    extract = lambda z: extract_motion_jit(model, params, z)
     os.makedirs(args.output_dir, exist_ok=True)
     videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),
                               recursive=True))

@@ -25,7 +25,7 @@ def parse_args():
     return p.parse_args()
 
 
-def extract_whisper(model, waveform, sr, num_frames, blocks):
+def extract_whisper(model, waveform, sr, num_frames, blocks, fps):
     import numpy as np
     import torch
     from transformers import WhisperFeatureExtractor
@@ -34,12 +34,16 @@ def extract_whisper(model, waveform, sr, num_frames, blocks):
     feats = fe(waveform, sampling_rate=sr, return_tensors="pt")
     with torch.no_grad():
         enc = model.encoder(feats.input_features).last_hidden_state[0]
-    # enc: (1500, D) covering 30s; map each video frame to `blocks` rows
+    # enc: (1500, D) covering the 30s-PADDED window at a fixed 50 rows/sec.
+    # Frames map by TIME (frame f sits at f/fps sec -> row f/fps*50),
+    # never by dividing 1500 across the frame count — that would spread a
+    # short clip's frames into the silence padding and misalign every
+    # audio-driven embedding.
+    rows_per_sec = enc.shape[0] / 30.0
     d = enc.shape[-1]
     out = np.zeros((num_frames, blocks, d), np.float32)
-    rows_per_frame = enc.shape[0] / max(num_frames, 1)
     for f in range(num_frames):
-        start = int(f * rows_per_frame)
+        start = int(f / fps * rows_per_sec)
         chunk = enc[start:start + blocks].numpy()
         out[f, :chunk.shape[0]] = chunk
     return out
@@ -77,12 +81,14 @@ def main():
             wav = read_wav(wav_path)
             if model is not None:
                 emb = extract_whisper(model, wav, 16000, total,
-                                      args.audio_blocks)
+                                      args.audio_blocks, fps)
             else:
                 flat = fallback(wav, total)  # (T, D)
                 emb = np.repeat(flat[:, None], args.audio_blocks, axis=1)
             name = os.path.splitext(os.path.basename(vp))[0]
-            np.save(os.path.join(args.output_dir, f"{name}_emb.npy"), emb)
+            # sidecar contract: {video stem}.npy — what build_index._find_sidecar
+            # and vis.py pair on (a *_emb suffix would orphan every file)
+            np.save(os.path.join(args.output_dir, f"{name}.npy"), emb)
             print(f"{vp}: {emb.shape}")
         except Exception as e:
             print(f"FAILED {vp}: {e}")

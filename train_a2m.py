@@ -145,21 +145,32 @@ def main():
     state = TrainState.create(a2m_params, tx,
                               ema_decay=args.ema_decay)
 
-    def train_step(state, batch, rng):
+    def train_step(state, batch, rng, frozen):
+        # the frozen VAE/AMD trees ride as replicated ARGUMENTS — closing
+        # over them would bake hundreds of MB into the HLO as constants
+        # (see models/vae.py jit-entry note) and replicate them outside
+        # the sharding system on a multi-device mesh
         rng = jax.random.fold_in(rng, state.step)
-        kv, kn = jax.random.split(rng)
-        gt_z = vae_mod.vae_encode(vae, vae_params, batch["gt_video"], kv)
-        ref_z = vae_mod.vae_encode(vae, vae_params, batch["ref_video"], kv)
-        motion_gt = amd_model.apply(amd_params, gt_z, method="extract_motion")
-        ref_motion = amd_model.apply(amd_params, ref_z[:, :1],
+        kv, kvr, kp, kpr, kn = jax.random.split(rng, 5)
+        gt_z = vae_mod.vae_encode(vae, frozen["vae"], batch["gt_video"], kv)
+        # the reference frame is ONE frame repeated by the dataset: encode
+        # it once, not n identical copies; and with its own key (a shared
+        # key would draw the SAME posterior noise as same-shaped streams)
+        ref_z = vae_mod.vae_encode(vae, frozen["vae"],
+                                   batch["ref_video"][:, :1], kvr)
+        motion_gt = amd_model.apply(frozen["amd"], gt_z,
+                                    method="extract_motion")
+        ref_motion = amd_model.apply(frozen["amd"], ref_z,
                                      method="extract_motion")[:, 0]
 
         pose_kw = {}
         if "gt_pose" in batch:  # DWPose stream, VAE-encoded like the video
             pose_kw = dict(
-                pose=vae_mod.vae_encode(vae, vae_params, batch["gt_pose"], kv),
+                pose=vae_mod.vae_encode(vae, frozen["vae"],
+                                        batch["gt_pose"], kp),
                 ref_pose=vae_mod.vae_encode(
-                    vae, vae_params, batch["ref_pose"][:, None], kv)[:, 0])
+                    vae, frozen["vae"], batch["ref_pose"][:, None],
+                    kpr)[:, 0])
 
         def loss_fn(params):
             ld = a2m_model.apply(params, motion_gt, ref_motion,
@@ -178,11 +189,18 @@ def main():
 
     ckpt = ckpt_lib.CheckpointManager(os.path.join(out_dir, "checkpoints"),
                                       args.checkpoint_total_limit)
+    frozen = {"vae": vae_params, "amd": amd_params}
     with mesh:
-        step_fn, state_shardings = shard_train_step(train_step, mesh, state)
+        step_fn, state_shardings = shard_train_step(train_step, mesh, state,
+                                                    n_extra_replicated=1)
         state = jax.device_put(state, state_shardings)
         b_shard = batch_sharding(mesh)
         step = 0
+        if len(loader) == 0:
+            raise SystemExit(
+                "dataset yields ZERO batches (fewer usable items than "
+                "train_batch_size with drop_last) — the training loop "
+                "would spin forever; shrink the batch or add data")
         while step < args.max_train_steps:
             for batch in loader:
                 if step >= args.max_train_steps:
@@ -190,7 +208,7 @@ def main():
                 device_batch = {k: jax.device_put(jnp.asarray(v), b_shard)
                                 for k, v in batch.items()
                                 if not isinstance(v, list)}
-                state, metrics = step_fn(state, device_batch, key)
+                state, metrics = step_fn(state, device_batch, key, frozen)
                 step += 1
                 if step % 50 == 0:
                     print(f"step {step}: loss={float(metrics['loss']):.4f}")

@@ -209,14 +209,14 @@ def main():
         # inputs built inside the CPU scope: mixing device-resident arrays
         # into a CPU-eager init forces cross-backend copies.
         key = jax.random.PRNGKey(args.seed)
-        lat = args.image_height
-        dummy = jnp.zeros((1, args.video_frames, 4, lat, lat))
+        lh, lw = args.image_height, args.image_width
+        dummy = jnp.zeros((1, args.video_frames, 4, lh, lw))
         init_kw = {}
         if getattr(model.cfg, "use_grey", False):
             init_kw = dict(video_grey=dummy, ref_img_grey=dummy)
         if getattr(model.cfg, "use_mask", False):
             init_kw["camera_mask"] = jnp.ones(
-                (1, 2 * args.video_frames, 4, lat, lat))
+                (1, 2 * args.video_frames, 4, lh, lw))
         return model.init({"params": key, "noise": key}, dummy, dummy,
                           **init_kw)
 

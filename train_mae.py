@@ -12,7 +12,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mp", type=str, default="bf16")
     p.add_argument("--model_type", type=str, default="MAE_S",
-                   choices=["MAE_S", "MAE_L"])
+                   help="key into hivae_tpu.models.mae.MAE_MODELS "
+                        "(MAE_S, MAE_L, or a registered custom factory)")
     p.add_argument("--mask_ratio", type=float, default=0.75)
     p.add_argument("--norm_pix_loss", type=lambda v: v.lower() == "true",
                    default=False)
@@ -56,7 +57,8 @@ def main():
     from hivae_tpu.utils.misc import init_on_cpu
     params = init_on_cpu(lambda: model.init(
         {"params": jax.random.PRNGKey(args.seed),
-         "mask": jax.random.PRNGKey(args.seed)}, jnp.zeros((1, 4, 32, 32))))
+         "mask": jax.random.PRNGKey(args.seed)},
+        jnp.zeros((1, model.in_chans) + tuple(model.img_size))))
 
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     vae_params = init_on_cpu(lambda: vae.init(
@@ -82,10 +84,12 @@ def main():
     state = TrainState.create(params, tx,
                               ema_decay=args.ema_decay)
 
-    def train_step(state, batch, rng):
+    def train_step(state, batch, rng, frozen):
+        # frozen VAE rides as a replicated argument (closing over it bakes
+        # ~80M weights into the HLO as constants; see models/vae.py)
         rng = jax.random.fold_in(rng, state.step)
         kv, km = jax.random.split(rng)
-        z = vae_mod.vae_encode(vae, vae_params, batch["videos"], kv)
+        z = vae_mod.vae_encode(vae, frozen["vae"], batch["videos"], kv)
         z = z.reshape((-1,) + z.shape[2:])
 
         def loss_fn(params):
@@ -98,18 +102,25 @@ def main():
         return state.apply_gradients(grads), ld
 
     ckpt = ckpt_lib.CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    frozen = {"vae": vae_params}
     with mesh:
-        step_fn, shardings = shard_train_step(train_step, mesh, state)
+        step_fn, shardings = shard_train_step(train_step, mesh, state,
+                                              n_extra_replicated=1)
         state = jax.device_put(state, shardings)
         b_shard = batch_sharding(mesh)
         step = 0
+        if len(loader) == 0:
+            raise SystemExit(
+                "dataset yields ZERO batches (fewer usable items than "
+                "train_batch_size with drop_last) — the training loop "
+                "would spin forever; shrink the batch or add data")
         while step < args.max_train_steps:
             for batch in loader:
                 if step >= args.max_train_steps:
                     break
                 db = {k: jax.device_put(jnp.asarray(v), b_shard)
                       for k, v in batch.items() if not isinstance(v, list)}
-                state, metrics = step_fn(state, db, key)
+                state, metrics = step_fn(state, db, key, frozen)
                 step += 1
                 if step % 50 == 0:
                     print(f"step {step}: loss={float(metrics['loss']):.4f}")

@@ -58,6 +58,14 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     amd_model, amd_params = load_amd(args, dtype)
+    from hivae_tpu.models import amd as amd_lib
+    if not isinstance(amd_model, amd_lib.AMDModelNew):
+        raise SystemExit(
+            "train_t2m requires --model_type AMD_N (or another AMDModelNew "
+            "config): it consumes the decoupled encode() tuple "
+            "(camera_target, object_source, object_target); the dual "
+            "AMDModel's encode returns a different geometry (reference "
+            "train_t2m.py trains against AMD_New only)")
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     from hivae_tpu.utils.misc import init_on_cpu
     vae_params = init_on_cpu(lambda: vae.init(
@@ -106,18 +114,23 @@ def main():
     state = TrainState.create(params, tx,
                               ema_decay=args.ema_decay)
 
-    def train_step(state, batch, rng):
+    def train_step(state, batch, rng, frozen):
         import optax
 
+        # frozen VAE/AMD ride as replicated arguments, and every encode
+        # gets its own key (a shared key draws identical posterior noise
+        # for same-shaped streams — videos vs grey_videos)
         rng = jax.random.fold_in(rng, state.step)
-        kv, kt, kn = jax.random.split(rng, 3)
-        video_z = vae_mod.vae_encode(vae, vae_params, batch["videos"], kv)
-        ref_z = vae_mod.vae_encode(vae, vae_params, batch["ref_img"], kv)
-        grey_z = vae_mod.vae_encode(vae, vae_params, batch["grey_videos"], kv)
-        ref_grey_z = vae_mod.vae_encode(vae, vae_params,
-                                        batch["ref_grey_img"], kv)
+        kv, kr, kg, kgr, kt, kn = jax.random.split(rng, 6)
+        video_z = vae_mod.vae_encode(vae, frozen["vae"], batch["videos"], kv)
+        ref_z = vae_mod.vae_encode(vae, frozen["vae"], batch["ref_img"], kr)
+        grey_z = vae_mod.vae_encode(vae, frozen["vae"],
+                                    batch["grey_videos"], kg)
+        ref_grey_z = vae_mod.vae_encode(vae, frozen["vae"],
+                                        batch["ref_grey_img"], kgr)
         cam_t, obj_s, obj_t = amd_model.apply(
-            amd_params, video_z, ref_z, grey_z, ref_grey_z, method="encode")
+            frozen["amd"], video_z, ref_z, grey_z, ref_grey_z,
+            method="encode")
         n = video_z.shape[0]
         timestep = jax.random.randint(kt, (n,), 0, cfg.num_steps + 1)
         # camera tokens reduced to the configured token budget
@@ -139,18 +152,25 @@ def main():
         return new_state, metrics
 
     ckpt = ckpt_lib.CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    frozen = {"vae": vae_params, "amd": amd_params}
     with mesh:
-        step_fn, shardings = shard_train_step(train_step, mesh, state)
+        step_fn, shardings = shard_train_step(train_step, mesh, state,
+                                              n_extra_replicated=1)
         state = jax.device_put(state, shardings)
         b_shard = batch_sharding(mesh)
         step = 0
+        if len(loader) == 0:
+            raise SystemExit(
+                "dataset yields ZERO batches (fewer usable items than "
+                "train_batch_size with drop_last) — the training loop "
+                "would spin forever; shrink the batch or add data")
         while step < args.max_train_steps:
             for batch in loader:
                 if step >= args.max_train_steps:
                     break
                 db = {k: jax.device_put(jnp.asarray(v), b_shard)
                       for k, v in batch.items() if not isinstance(v, list)}
-                state, metrics = step_fn(state, db, key)
+                state, metrics = step_fn(state, db, key, frozen)
                 step += 1
                 if step % 50 == 0:
                     print(f"step {step}: loss={float(metrics['loss']):.4f}")

@@ -68,8 +68,15 @@ def main():
             import orbax.checkpoint as ocp
             path = (ckpt_lib.find_latest_checkpoint(args.a2m_ckpt)
                     or args.a2m_ckpt)
-            restored = ocp.StandardCheckpointer().restore(path, params)
-            params = restored
+            # train_a2m checkpoints hold a full TrainState ({step, params,
+            # opt_state, ema_params}) — restore WITHOUT a bare-params
+            # template (structure mismatch) and unwrap, like
+            # a2v_inference.load_a2m
+            restored = ocp.StandardCheckpointer().restore(path)
+            params = restored.get("params", restored) \
+                if hasattr(restored, "get") else restored
+            if "params" not in params:
+                params = {"params": params}
 
     vae = vae_mod.AutoencoderKL(dtype=dtype)
     vae_params = init_on_cpu(lambda: vae.init(jax.random.PRNGKey(0),
@@ -87,6 +94,8 @@ def main():
     afs, pvs = [], []
     for e in embs:
         name = os.path.splitext(os.path.basename(e))[0]
+        if name.endswith("_emb"):  # legacy embedding suffix
+            name = name[:-4]
         vp = os.path.join(args.pose_video_dir, name + ".mp4")
         af = np.load(e)
         total, _ = vio.video_metadata(vp)
