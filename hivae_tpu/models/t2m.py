@@ -29,7 +29,10 @@ Dtype = Any
 class T2MConfig:
     label_dim: int = 512
     num_classes: int = 101           # UCF-101
-    motion_dim: int = 512
+    # must equal object_channel (the predicted velocity lives in
+    # object-motion-token space); the reference's independent defaults
+    # (512 vs 32) are unconstructible by its own loss
+    motion_dim: int = 32
     refimg_width: int = 32
     refimg_height: int = 32
     refimg_patch_size: int = 2
@@ -158,6 +161,15 @@ class Label2MotionDiffusionDecoder(nn.Module):
                 "object_motion_with_noise": obj_zt,
                 "vel_pred_object": vel_pred_object,
                 "vel_gt_object": vel_gt_object}
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.cfg.motion_dim != self.cfg.object_channel:
+            raise ValueError(
+                f"T2MConfig.motion_dim ({self.cfg.motion_dim}) must equal "
+                f"object_channel ({self.cfg.object_channel}): the predicted "
+                "velocity lives in object-motion-token space (reference "
+                "t2m_model.py proj_out vs the RF target)")
 
     def loss(self, outputs: Dict[str, jax.Array]) -> jax.Array:
         d = (outputs["vel_pred_object"].astype(jnp.float32) -

@@ -128,3 +128,42 @@ def test_train_mae_two_steps(tmp_path, monkeypatch, assets):
     ], monkeypatch)
     from hivae_tpu.training.checkpoint import find_latest_checkpoint
     assert find_latest_checkpoint(os.path.join(out, "s", "checkpoints"))
+
+
+def test_train_t2m_two_steps(assets, tmp_path, monkeypatch):
+    """Two steps of the label->motion trainer on a class-labeled tree
+    (UCF-101 layout) against the tiny frozen AMD."""
+    import train_t2m
+    from hivae_tpu.data import video as vio
+
+    rng = np.random.RandomState(1)
+    tree = tmp_path / "labeled"
+    for cls in ("clsA", "clsB"):
+        cdir = tree / cls
+        cdir.mkdir(parents=True)
+        frames = rng.randint(0, 255, (10, SIZE, SIZE, 3), dtype=np.uint8)
+        vio.write_video(str(cdir / "v.mp4"), frames, fps=8)
+
+    t2m_cfg = str(tmp_path / "t2m.json")
+    with open(t2m_cfg, "w") as f:
+        json.dump(dict(label_dim=16, num_classes=2, motion_dim=16,
+                       refimg_width=LAT, refimg_height=LAT,
+                       refimg_patch_size=1, refimg_dim=4,
+                       time_embed_dim=32, attention_head_dim=8,
+                       num_attention_heads=2, num_layers=1,
+                       camera_token_num=4, camera_channel=8,
+                       object_token_num=2, object_channel=16), f)
+
+    out = str(tmp_path / "t2m_out")
+    _run_main(train_t2m, [
+        "train_t2m.py", "--t2m_config", t2m_cfg,
+        "--amd_config", assets["amd_config"],
+        "--amd_ckpt", assets["amd_ckpt"],
+        "--video_dir", str(tree), "--output_dir", out,
+        "--exp_name", "s", "--train_batch_size", "1",
+        "--max_train_steps", "2", "--video_frames", str(W),
+        "--sample_size", str(SIZE), "--mp", "no",
+        "--save_checkpoint_interval_step", "100",
+    ], monkeypatch)
+    from hivae_tpu.training.checkpoint import find_latest_checkpoint
+    assert find_latest_checkpoint(os.path.join(out, "s", "checkpoints"))
