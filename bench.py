@@ -105,8 +105,10 @@ def main():
         t_q = time.perf_counter() - t0
         record["int8_decode_fps"] = round(FRAMES * iters / t_q, 2)
         record["int8_decode_speedup"] = round(t_bf / t_q, 3)
-    except Exception:  # noqa: BLE001 — supplementary only
-        pass
+    except Exception as e:  # noqa: BLE001 — supplementary only
+        import sys
+        print(f"int8 supplementary measurement failed: {e!r}",
+              file=sys.stderr)
     print(json.dumps(record))
 
 

@@ -82,14 +82,19 @@ def main():
         def bench_g(fn):
             def f(q, k, v):
                 return jnp.sum(fn(q, k, v).astype(jnp.float32))
-            gfn = jax.grad(f, argnums=(0,))
+            # ALL THREE cotangents: grad wrt q alone lets XLA drop the
+            # dk/dv matmuls on its path while the Pallas custom-vjp always
+            # computes the full backward — an apples-to-oranges comparison
+            # that understated the Pallas win
+            gfn = jax.grad(f, argnums=(0, 1, 2))
 
             def make_loop(n):
                 @jax.jit
                 def loop(q, k, v):
                     def body(q, _):
-                        (dq,) = gfn(q, k, v)
-                        return q + dq * 1e-6, None
+                        dq, dk, dv = gfn(q, k, v)
+                        chain = (dq + dk * 1e-3 + dv * 1e-3) * 1e-6
+                        return q + chain, None
                     out, _ = jax.lax.scan(body, q, None, length=n)
                     return out
                 return loop

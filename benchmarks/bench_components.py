@@ -30,9 +30,15 @@ def bench(fn, args, iters):
         def loop(first, *rest):
             def body(x, _):
                 out = fn(x, *rest)
-                leaf = jax.tree.leaves(out)[0]
-                delta = jnp.ravel(leaf)[0].astype(x.dtype)
-                return x + delta * 1e-20, None
+                # reduce over EVERY output leaf: a one-element slice of the
+                # first leaf lets XLA dead-code-eliminate sibling outputs
+                # and everything outside that element's receptive field
+                # (the conv-stack pitfall bench_quant.py documents; here it
+                # also dropped the object encoder from the 'encode' row and
+                # most dW matmuls from the grad row)
+                delta = sum(jnp.sum(l.astype(jnp.float32))
+                            for l in jax.tree.leaves(out))
+                return x + delta.astype(x.dtype) * 1e-20, None
             x, _ = jax.lax.scan(body, first, None, length=n)
             return x
         return loop

@@ -43,7 +43,8 @@ def main():
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--batches", type=int, default=40)
-    p.add_argument("--grey", action="store_true", default=True)
+    p.add_argument("--grey", type=lambda v: v.lower() == "true",
+               default=True, help="--grey false disables the grey twin stream")
     args = p.parse_args()
 
     from hivae_tpu.data.datasets import DataLoader, VideoClipDataset

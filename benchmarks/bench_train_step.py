@@ -83,6 +83,8 @@ def main():
     print(f"compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={float(loss):.3f}")
 
+    if args.iters < 1:
+        raise SystemExit("--iters must be >= 1")
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
