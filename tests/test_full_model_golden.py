@@ -91,12 +91,16 @@ class TestForwardGolden:
             params, jnp.asarray(video), jnp.asarray(ref), jnp.asarray(grey),
             jnp.asarray(ref_grey), camera_mask=jnp.asarray(mask),
             method="encode")
-        cam_t, obj_s_t, _ = TR.amd_new_encode(
+        cam_t, obj_s_t, obj_t_t = TR.amd_new_encode(
             params["params"], video, ref, grey, ref_grey, cfg, 0.6, 0.6,
             camera_mask=mask)
         np.testing.assert_allclose(np.asarray(cam), cam_t.numpy(),
                                    rtol=2e-4, atol=5e-5)
         np.testing.assert_allclose(np.asarray(obj_s), obj_s_t.numpy(),
+                                   rtol=2e-4, atol=5e-5)
+        # BOTH object halves must be mask-invariant (a wrong slice routing
+        # the mask into object_target would otherwise pass)
+        np.testing.assert_allclose(np.asarray(obj_t), obj_t_t.numpy(),
                                    rtol=2e-4, atol=5e-5)
         # the mask must actually change the camera stream
         cam_unmasked, _, _ = model.apply(

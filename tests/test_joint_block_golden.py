@@ -24,39 +24,14 @@ def _t(x):
     return torch.from_numpy(np.asarray(x))
 
 
-def torch_attention(p, x, heads, head_dim, eps=1e-6):
-    b, s, _ = x.shape
+import torch_ref as R
 
-    def lin(name, inp):
-        return inp @ _t(p[name]["kernel"]) + _t(p[name]["bias"])
-
-    q = lin("to_q", x).view(b, s, heads, head_dim).transpose(1, 2)
-    k = lin("to_k", x).view(b, s, heads, head_dim).transpose(1, 2)
-    v = lin("to_v", x).view(b, s, heads, head_dim).transpose(1, 2)
-    q = F.layer_norm(q, (head_dim,), _t(p["norm_q"]["scale"]),
-                     _t(p["norm_q"]["bias"]), eps=eps)
-    k = F.layer_norm(k, (head_dim,), _t(p["norm_k"]["scale"]),
-                     _t(p["norm_k"]["bias"]), eps=eps)
-    o = F.scaled_dot_product_attention(q, k, v)
-    o = o.transpose(1, 2).reshape(b, s, heads * head_dim)
-    return lin("to_out", o)
-
-
-def torch_ff(p, x):
-    h = x @ _t(p["net_0"]["kernel"]) + _t(p["net_0"]["bias"])
-    h = F.gelu(h, approximate="tanh")
-    return h @ _t(p["net_2"]["kernel"]) + _t(p["net_2"]["bias"])
-
-
-def torch_adaln_zero(p, hidden, encoder, temb, dim):
-    mods = F.silu(temb) @ _t(p["linear"]["kernel"]) + _t(p["linear"]["bias"])
-    shift, scale, gate, e_shift, e_scale, e_gate = mods.chunk(6, dim=1)
-    w, bias = _t(p["norm"]["scale"]), _t(p["norm"]["bias"])
-    hidden = F.layer_norm(hidden, (dim,), w, bias, eps=1e-5) * \
-        (1 + scale[:, None]) + shift[:, None]
-    encoder = F.layer_norm(encoder, (dim,), w, bias, eps=1e-5) * \
-        (1 + e_scale[:, None]) + e_shift[:, None]
-    return hidden, encoder, gate[:, None], e_gate[:, None]
+# one torch restatement of attention/ff/adaln lives in torch_ref — a local
+# copy could silently drift from the semantics the other goldens pin
+torch_attention = lambda p, x, heads, head_dim: R.attention(
+    p, x, x, heads, head_dim)
+torch_ff = R.ff
+torch_adaln_zero = R.adaln_zero
 
 
 class TestJointBlockGolden:

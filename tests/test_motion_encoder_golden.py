@@ -21,34 +21,20 @@ def _t(x):
     return torch.from_numpy(np.asarray(x))
 
 
+import torch_ref as R
+
+# the single torch restatement lives in torch_ref (see
+# test_joint_block_golden.py note)
+attention = R.attention
+ff = R.ff
+
+
 def lin(p, name, x):
-    return x @ _t(p[name]["kernel"]) + _t(p[name]["bias"])
+    return R.lin(p[name], x)
 
 
 def ln(p, name, x, eps=1e-5):
-    return F.layer_norm(x, (x.shape[-1],), _t(p[name]["scale"]),
-                        _t(p[name]["bias"]), eps=eps)
-
-
-def attention(p, q_in, kv_in, heads, head_dim, eps=1e-6):
-    b, sq, _ = q_in.shape
-    sk = kv_in.shape[1]
-    q = lin(p, "to_q", q_in).view(b, sq, heads, head_dim).transpose(1, 2)
-    k = lin(p, "to_k", kv_in).view(b, sk, heads, head_dim).transpose(1, 2)
-    v = lin(p, "to_v", kv_in).view(b, sk, heads, head_dim).transpose(1, 2)
-    q = F.layer_norm(q, (head_dim,), _t(p["norm_q"]["scale"]),
-                     _t(p["norm_q"]["bias"]), eps=eps)
-    k = F.layer_norm(k, (head_dim,), _t(p["norm_k"]["scale"]),
-                     _t(p["norm_k"]["bias"]), eps=eps)
-    o = F.scaled_dot_product_attention(q, k, v)
-    return lin(p, "to_out", o.transpose(1, 2).reshape(b, sq,
-                                                      heads * head_dim))
-
-
-def ff(p, x):
-    h = F.gelu(x @ _t(p["net_0"]["kernel"]) + _t(p["net_0"]["bias"]),
-               approximate="tanh")
-    return h @ _t(p["net_2"]["kernel"]) + _t(p["net_2"]["bias"])
+    return R.ln(p[name], x, eps=eps)
 
 
 class TestCameraEncoderGolden:

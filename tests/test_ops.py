@@ -218,3 +218,20 @@ class TestHeunSampler:
         # order: euler halves, heun quarters
         assert e_eu_8 / e_eu_16 == pytest.approx(2.0, rel=0.3)
         assert e_he_8 / e_he_16 == pytest.approx(4.0, rel=0.4)
+
+
+def test_sincos_tables_match_independent_torch_restatement():
+    """The goldens' positional tables must NOT be blind to a frequency
+    formula bug: pin hivae_tpu.ops.embeddings' tables against
+    torch_ref's independent torch restatement (a shared import would
+    make both sides wrong together)."""
+    import torch_ref as TR
+
+    from hivae_tpu.ops import embeddings as E
+
+    np.testing.assert_allclose(
+        E.get_1d_sincos_pos_embed(32, 17),
+        TR.sincos_1d(32, 17).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        E.get_2d_sincos_pos_embed(16, (4, 6)),
+        TR.sincos_2d(16, (4, 6)).numpy(), atol=1e-6)

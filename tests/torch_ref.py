@@ -19,6 +19,38 @@ def t(x):
     return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
 
 
+# ---------------------------------------------------------------------------
+# Independent sincos restatements (diffusers get_*_sincos_pos_embed):
+# importing the tables from hivae_tpu.ops.embeddings would make every golden
+# blind to a frequency-formula bug there — both sides would share it.
+# ---------------------------------------------------------------------------
+
+
+def _sincos_grid_torch(embed_dim, pos):
+    omega = torch.arange(embed_dim // 2, dtype=torch.float64)
+    omega = 1.0 / 10000 ** (omega / (embed_dim / 2.0))
+    out = torch.einsum("m,d->md",
+                       torch.as_tensor(pos, dtype=torch.float64).reshape(-1),
+                       omega)
+    return torch.cat([torch.sin(out), torch.cos(out)], dim=1)
+
+
+def sincos_1d(embed_dim, length):
+    return _sincos_grid_torch(embed_dim,
+                              torch.arange(length)).to(torch.float32)
+
+
+def sincos_2d(embed_dim, grid_size):
+    h, w = grid_size
+    gw, gh = torch.meshgrid(torch.arange(w, dtype=torch.float64),
+                            torch.arange(h, dtype=torch.float64),
+                            indexing="xy")
+    # diffusers quirk: the first channel half encodes the W coordinate
+    emb_h = _sincos_grid_torch(embed_dim // 2, gw)
+    emb_w = _sincos_grid_torch(embed_dim // 2, gh)
+    return torch.cat([emb_h, emb_w], dim=1).to(torch.float32)
+
+
 def lin(p, x):
     return x @ t(p["kernel"]) + t(p["bias"])
 
@@ -99,6 +131,11 @@ def time_embed(p, timestep, sinusoid_dim):
 
 
 def basic_block(p, x, heads, head_dim, key_mask=None):
+    if key_mask is not None:
+        raise NotImplementedError(
+            "torch_ref.basic_block does not restate masked attention; "
+            "extend attention() with an attn_mask before golden-testing "
+            "the masked encoder path")
     h = ln(p["norm1"], x)
     x = x + attention(p["attn1"], h, h, heads, head_dim)
     h = ln(p["norm2"], x)
@@ -145,21 +182,19 @@ def band_split(x_nthw, d_low, d_high):
 
     x = t(x_nthw).permute(0, 2, 1, 3, 4)  # n c t h w
     shape = x.shape[2:]
+    xf = torch.fft.fftshift(torch.fft.fftn(x, dim=(-3, -2, -1)),
+                            dim=(-3, -2, -1))
 
-    def split(d):
+    def band(d, low_side):
         lpf = t(np.asarray(
             frequency.gaussian_low_pass_filter(tuple(shape), d, d)))
-        xf = torch.fft.fftshift(torch.fft.fftn(x, dim=(-3, -2, -1)),
-                                dim=(-3, -2, -1))
-        low = torch.fft.ifftn(torch.fft.ifftshift(xf * lpf, dim=(-3, -2, -1)),
-                              dim=(-3, -2, -1)).real
-        high = torch.fft.ifftn(
-            torch.fft.ifftshift(xf * (1 - lpf), dim=(-3, -2, -1)),
+        mask = lpf if low_side else (1 - lpf)
+        return torch.fft.ifftn(
+            torch.fft.ifftshift(xf * mask, dim=(-3, -2, -1)),
             dim=(-3, -2, -1)).real
-        return low, high
 
-    low, _ = split(d_low)
-    _, high = split(d_high)
+    low = band(d_low, True)
+    high = band(d_high, False)
     return low.permute(0, 2, 1, 3, 4), high.permute(0, 2, 1, 3, 4)
 
 
@@ -181,7 +216,7 @@ def motion_encoder_spatial(p, video, cfg):
     mtok = lin(p["motion_embed"], t(p["motion_token"]))
     mtok = mtok.expand(n * tt, -1, -1)
     x = patchify(p["patch_embed"], t(video).reshape(n * tt, c, h, w), patch)
-    pos = t(emb_ops.get_2d_sincos_pos_embed(hidden, (iph, ipw)))
+    pos = sincos_2d(hidden, (iph, ipw))
     x = x + pos[None]
     hstate = torch.cat([mtok, x], dim=1)
     for i in range(cfg.object_enc_num_layers):
@@ -206,9 +241,9 @@ def motion_encoder_temporal_cross(p, video, cfg):
     s = iph * ipw
 
     x = patchify(p["patch_embed"], t(video).reshape(n * tt, c, h, w), patch)
-    spos = t(emb_ops.get_2d_sincos_pos_embed(hidden, (iph, ipw)))
+    spos = sincos_2d(hidden, (iph, ipw))
     x = x + spos[None]
-    tpos = t(emb_ops.get_1d_sincos_pos_embed(hidden, cfg.video_frames))
+    tpos = sincos_1d(hidden, cfg.video_frames)
     x = x.reshape(n, tt, s, hidden) + tpos[None, :tt, None, :]
 
     mtok = lin(p["motion_embed"], t(p["motion_token"]))  # (1, L, hidden)
@@ -251,9 +286,8 @@ def dit_img_spatial_temp(p, image_hidden, timestep, camera_target,
         n * s, -1)
 
     img = patchify(p["image_patch_embed"], image_hidden, patch)
-    img = img + t(emb_ops.get_2d_sincos_pos_embed(
-        hidden, (hi // patch, wi // patch)))[None]
-    tpos = t(emb_ops.get_1d_sincos_pos_embed(hidden, tt))
+    img = img + sincos_2d(hidden, (hi // patch, wi // patch))[None]
+    tpos = sincos_1d(hidden, tt)
     img = img.reshape(n, tt, s, hidden).permute(0, 2, 1, 3) + tpos[None, None]
     img = img.permute(0, 2, 1, 3).reshape(n_t, s, hidden)
 
@@ -273,7 +307,7 @@ def dit_img_spatial_temp(p, image_hidden, timestep, camera_target,
                                          object_source),
                             tgt_tok, lin(p["object_motion_patch_embed"],
                                          object_target)], dim=1)
-        motion = motion + t(emb_ops.get_1d_sincos_pos_embed(hidden, msl))[None]
+        motion = motion + sincos_1d(hidden, msl)[None]
 
     for i in range(cfg.diffusion_num_layers):
         if motion is not None:
@@ -301,6 +335,11 @@ def amd_new_encode(p, video, ref_img, video_grey, ref_grey, cfg,
 
     ``camera_mask``: LF band multiply before the camera encoder
     (reference AMDModel_Camera.forward:1137)."""
+    if not cfg.use_filter or getattr(cfg, "use_camera_down", False):
+        raise NotImplementedError(
+            "torch_ref.amd_new_encode mirrors the use_filter=True, "
+            "use_camera_down=False configuration only — extend the "
+            "restatement before golden-testing other configs")
     n, tt = video.shape[:2]
     refimg_and_video = torch.cat([t(ref_img), t(video)], dim=1)
 
@@ -321,20 +360,6 @@ def amd_new_encode(p, video, ref_img, video_grey, ref_grey, cfg,
     return camera_target, object_source, object_target
 
 
-def amd_new_forward(params, video, ref_img, video_grey, ref_grey, time_step,
-                    cfg):
-    """Forward velocity with explicit integer timesteps (N*T,).
-
-    Reference AMDModel_New.forward:1844-2017 minus the loss tail; the
-    caller supplies z0 so randomness is pinned.
-    """
-    p = params["params"]
-    n, tt = video.shape[:2]
-    cam_t, obj_s, obj_t = amd_new_encode(p, video, ref_img, video_grey,
-                                         ref_grey, cfg, 0.6, 0.5)
-    return cam_t, obj_s, obj_t
-
-
 def amd_new_velocity(params, zi, zt, time_step, cam_t, obj_s, obj_t, cfg):
     p = params["params"]
     image_hidden = torch.cat([zi, zt], dim=1)
@@ -350,7 +375,6 @@ def amd_new_sample(params, video, ref_img, video_grey, ref_grey, z0,
     n, tt = video.shape[:2]
     cam_t, obj_s, obj_t = amd_new_encode(p, video, ref_img, video_grey,
                                          ref_grey, cfg, 0.6, 0.6)
-    zi = t(video).new_zeros(0)  # placeholder (not used)
     zi = t(ref_img).reshape((n * tt,) + tuple(ref_img.shape[2:]))
     num_steps = cfg.scheduler_num_step
     step_seq = np.linspace(0, num_steps, num=sample_step + 1, endpoint=True,
