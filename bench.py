@@ -21,13 +21,75 @@ bf16 peak).
 
 Timing note: ``block_until_ready`` is a no-op through the axon relay, so the
 loop is fenced by a scalar host fetch (a real device sync) instead.
+
+Outage note: the axon relay is a tunnel that can be transiently DOWN
+(backend init raises UNAVAILABLE) — round 3's driver capture was lost to
+exactly that. The measurement therefore runs in a SUBPROCESS (a failed
+backend init is cached inside a JAX process, so in-process retry is
+useless) and the wrapper retries with bounded backoff on transient relay
+errors before failing loudly.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+# error signatures that mark a transient relay/backend outage (retryable)
+TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+    "Connection refused",
+    "Socket closed",
+)
+# bounded backoff: ~7.5 min total wait — long enough to ride out a relay
+# blip, short enough that a real outage fails the run instead of hanging it
+RETRY_DELAYS = (30.0, 120.0, 300.0)
+
+
+def _is_transient(text: str) -> bool:
+    return any(m in text for m in TRANSIENT_MARKERS)
+
+
+def run_with_retries(cmd=None, delays=None, sleep=time.sleep,
+                     stderr=sys.stderr):
+    """Run the inner measurement subprocess, retrying transient failures.
+
+    Returns the inner process's stdout on success. Raises SystemExit with
+    the inner output on a non-transient failure or after exhausting
+    retries (fail loudly — never emit a fake JSON line).
+    """
+    if cmd is None:
+        cmd = [sys.executable, os.path.abspath(__file__)]
+    if delays is None:
+        delays = RETRY_DELAYS
+    env = dict(os.environ, HIVAE_BENCH_INNER="1")
+    attempts = len(delays) + 1
+    for i in range(attempts):
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        if proc.returncode == 0:
+            if proc.stderr:
+                print(proc.stderr, file=stderr, end="")
+            return proc.stdout
+        blob = proc.stdout + proc.stderr
+        transient = _is_transient(blob)
+        print(f"bench attempt {i + 1}/{attempts} failed "
+              f"(rc={proc.returncode}, transient={transient})",
+              file=stderr)
+        if not transient or i == attempts - 1:
+            print(blob, file=stderr, end="")
+            raise SystemExit(proc.returncode or 1)
+        print(blob[-400:], file=stderr)
+        print(f"retrying in {delays[i]:.0f}s ...", file=stderr)
+        sleep(delays[i])
+    raise SystemExit(1)  # unreachable
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 A100_FPS = 60.0
 FRAMES = 16
@@ -113,4 +175,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HIVAE_BENCH_INNER"):
+        main()
+    else:
+        sys.stdout.write(run_with_retries())

@@ -307,7 +307,11 @@ class DataLoader:
             # lengths would deadlock cross-host collectives when one host
             # runs a step the others never enter
             total = -(-len(idx) // self.num_shards) * self.num_shards
-            idx = (idx + idx)[:total]
+            # repeat enough times to cover total even when the dataset is
+            # smaller than the shard count (a single doubling would leave
+            # some shards short — the exact deadlock this pad prevents)
+            reps = -(-total // max(len(idx), 1))
+            idx = (idx * reps)[:total]
         return idx[self.shard_id::self.num_shards]
 
     def __len__(self):

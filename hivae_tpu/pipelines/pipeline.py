@@ -183,8 +183,13 @@ def _gt_motion_window(vae, amd_model, vae_params, amd_params, cur_gt,
     """One GT-motion ablation window (extract -> decode) as one program.
     ``mask_ratio`` masks the motion-token extraction (reference
     ``AMDTestPipeLine`` knob, ``pipeline.py:266,345``)."""
-    key, kmask = jax.random.split(key)
-    enc_rngs = {} if mask_ratio is None else {"rngs": {"mask": kmask}}
+    # split only when masking (sample_with_refimg_motion convention):
+    # the unmasked path's noise stream must not shift with this feature
+    if mask_ratio is None:
+        enc_rngs = {}
+    else:
+        key, kmask = jax.random.split(key)
+        enc_rngs = {"rngs": {"mask": kmask}}
     motion = amd_model.apply(amd_params, cur_gt, mask_ratio,
                              method="extract_motion", **enc_rngs)
     return amd_mod.sample_with_refimg_motion(

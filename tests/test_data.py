@@ -138,6 +138,18 @@ class TestDatasets:
                         num_shards=2)
         assert len(d0) == len(d1) == 2  # 3 items -> padded to 4
 
+    def test_loader_sharding_more_shards_than_items(self, video_dir):
+        """Dataset smaller than the shard count: one wrap-around doubling
+        is not enough — the pad must repeat the index list until every
+        shard has the same (non-zero) length."""
+        ds = VideoClipDataset(video_dir, sample_n_frames=2, sample_size=32)
+        n = len(ds)  # 3 in this fixture
+        shards = [DataLoader(ds, batch_size=1, shuffle=False, shard_id=i,
+                             num_shards=2 * n + 1)._indices()
+                  for i in range(2 * n + 1)]
+        assert all(len(s) == 1 for s in shards)
+        assert all(0 <= s[0] < n for s in shards)
+
     def test_loader_worker_error_propagates(self, video_dir):
         """A worker exception must surface in the consumer, not hang the
         epoch forever on results.get()."""

@@ -106,7 +106,9 @@ def parse_args():
                         "(more HBM, higher MFU); 'dots_sans_ffn' drops only "
                         "the 4x-wide FFN up-projection from the saved set "
                         "(batch 2 at 696M); 'dots_offload' keeps dot "
-                        "outputs in host memory")
+                        "outputs in host memory (native TPU hosts only: "
+                        "relayed remote compilers reject pinned_host "
+                        "memory spaces)")
     p.add_argument("--scan_layers", type=str2bool, default=False,
                    help="nn.scan-stack DiT layers (faster compiles)")
     p.add_argument("--attn_impl", type=str, default="auto",
