@@ -557,10 +557,30 @@ def _flash_stream_fwd(q, k, v, bias, scale):
 
 def _flash_stream_bwd(scale, res, g):
     q, k, v, bias, out, lse = res
+    dq, dk, dv = stream_bwd(q, k, v, bias, g, out, lse, scale)
+    # key_bias is the non-differentiable key mask (see flash_attention)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+def stream_bwd(q, k, v, bias, g, out, lse, scale):
+    """FlashAttention-2 recomputation backward given the (global) ``out``
+    and ``lse`` — (dq, dk, dv), unpadded.
+
+    ``lse`` may be padded (B, H, Sqp, 1) from ``_stream_fwd_impl`` or
+    unpadded (B, H, Sq, 1) from a caller that sliced/merged it (ring
+    attention merges per-hop LSEs into a GLOBAL one and calls this per
+    hop; with the global lse/delta the per-hop partial gradients sum
+    exactly to the full gradients). Zero-padding the lse rows is safe:
+    padded q rows have q=0 so their probs are bounded (exp(bias) <= 1)
+    and their do/delta rows are zero, so they contribute nothing.
+    """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     qp, kp, vp, bp, sqp, skp, bq, bk = _stream_prep(q, k, v, bias)
     gp = _stream_pad(g, sqp)
+    if lse.shape[2] != sqp:
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sqp - lse.shape[2]),
+                            (0, 0)))
     # delta_i = rowsum(do_i * o_i) — cheap bandwidth-bound reduction, XLA
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sqp - sq)))[..., None]
@@ -604,12 +624,17 @@ def _flash_stream_bwd(scale, res, g):
         interpret=_interpret(),
     )(qp, kp, vp, bp, gp, lse, delta)
 
-    # key_bias is the non-differentiable key mask (see flash_attention)
-    dbias = jnp.zeros_like(bias)
-    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk], dbias
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
 
 
 _flash_stream.defvjp(_flash_stream_fwd, _flash_stream_bwd)
+
+
+def stream_fwd_lse(q, k, v, bias, scale):
+    """Streaming forward returning (out, lse) with lse sliced to Sq —
+    the building block ring attention merges across hops."""
+    out, lse = _stream_fwd_impl(q, k, v, bias, scale)
+    return out, lse[:, :, :q.shape[2]]
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
