@@ -72,6 +72,14 @@ def main():
             vgg.update(load_safetensors(args.lpips_head))
         lpips_params, _ = convert_torch_state(lp, vgg, strict=False)
 
+    # commit once: host trees re-upload in full on every per-clip dispatch
+    # (utils/misc.py::commit_to_device)
+    from hivae_tpu.utils.misc import commit_to_device
+    params = commit_to_device(params)
+    vae_params = commit_to_device(vae_params)
+    if lpips_params is not None:
+        lpips_params = commit_to_device(lpips_params)
+
     use_grey = getattr(model.cfg, "use_grey", False)
     videos = sorted(glob.glob(os.path.join(args.video_dir, "**", "*.mp4"),
                               recursive=True))[:args.max_videos]

@@ -49,6 +49,12 @@ def main():
         state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
         vae_params, _ = convert_torch_state(vae_params, state, strict=False)
 
+    # commit once: host trees re-upload in full on every per-clip dispatch
+    # (utils/misc.py::commit_to_device)
+    from hivae_tpu.utils.misc import commit_to_device
+    params = commit_to_device(params)
+    vae_params = commit_to_device(vae_params)
+
     # the library wrapper keeps params a traced argument — a lambda
     # closing over them would bake the checkpoint into the HLO as
     # constants (models/vae.py jit-entry note)

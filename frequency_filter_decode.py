@@ -45,6 +45,11 @@ def main():
         state = normalize_vae_keys(load_safetensors(args.vae_ckpt))
         vae_params, _ = convert_torch_state(vae_params, state, strict=False)
 
+    # commit once: a host tree re-uploads in full on every decode dispatch
+    # (one per band here; utils/misc.py::commit_to_device)
+    from hivae_tpu.utils.misc import commit_to_device
+    vae_params = commit_to_device(vae_params)
+
     total, fps = vio.video_metadata(args.video_path)
     idx = vio.sample_frames_with_fps(total, fps, args.frames, args.fps,
                                      start_index=0)

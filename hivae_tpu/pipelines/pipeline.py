@@ -234,14 +234,21 @@ def _init_quant(quant, trees, allow_empty=()):
     """Build one table per (scope -> params) entry and strip the covered
     bf16 kernels+biases from the serving trees (the interceptor reads the
     table, never the module's own params — the advertised HBM cut).
-    Returns ``(tables, stripped_trees)`` keyed like ``trees``."""
+    Returns ``(tables, stripped_trees)`` keyed like ``trees``.
+
+    The returned trees are committed to the device: checkpoint restores
+    and ``init_on_cpu`` yield HOST arrays, and a host tree passed as a jit
+    argument re-uploads in full on EVERY dispatch — measured 28.9 s per
+    A2V window on a 131M AMD through the relay vs 0.08 s once the tree is
+    device-resident. Committing here makes every pipeline's
+    window/clip loop pay the transfer exactly once."""
     tables, stripped = {}, {}
     for scope, params in trees.items():
         t = _build_quant_table(quant, params, scope,
                                allow_empty=scope in allow_empty)
-        tables[scope] = t
-        stripped[scope] = (quant_ops.strip_quantized(params, t)
-                           if t else params)
+        tree = quant_ops.strip_quantized(params, t) if t else params
+        tables[scope] = jax.device_put(t) if t else t
+        stripped[scope] = jax.device_put(tree)
     return tables, stripped
 
 

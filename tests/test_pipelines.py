@@ -103,6 +103,24 @@ class TestReconstructionPipeline:
         assert out.dtype == np.uint8
         assert os.path.exists(out_path)
 
+    def test_params_committed_at_construction(self, tiny_stack):
+        """Serving trees must be device-committed ONCE at construction:
+        checkpoint restores yield host numpy, and a host tree passed as a
+        jit argument re-uploads in full on every window/clip dispatch
+        (28.9 s/window measured on a 131M AMD through the relay vs 0.08 s
+        committed — see RESULTS.md round 4)."""
+        host_amd = jax.tree.map(np.asarray, tiny_stack["amd_params"])
+        host_vae = jax.tree.map(np.asarray, tiny_stack["vae_params"])
+        pipe = AMDReconstructionPipeline(
+            tiny_stack["vae"], host_vae, tiny_stack["amd"], host_amd,
+            window=W, sample_size=SIZE)
+        for tree in (pipe.amd_params, pipe.vae_params):
+            leaf = jax.tree.leaves(tree)[0]
+            # device-backed jax.Array (uncommitted default-device placement
+            # is fine — the point is it is NOT host numpy re-uploaded per
+            # dispatch)
+            assert isinstance(leaf, jax.Array)
+
     def test_quant_int8(self, tiny_stack, video_file):
         """quant='int8' builds a table over the tiny DiT and serves through
         the fused program (a low threshold is monkeypatched in ops.quant

@@ -127,6 +127,9 @@ def main():
                 if step % args.save_checkpoint_interval_step == 0:
                     ckpt.save(step, jax.device_get(state))
     ckpt.save(step, jax.device_get(state))
+    if step:  # short runs (< the 50-step print cadence) otherwise end silent
+        print("final metrics:",
+              {k: float(v) for k, v in jax.device_get(metrics).items()})
 
 
 if __name__ == "__main__":
