@@ -44,7 +44,7 @@ def bench(fn, args, iters=8):
                 out = fn(x, *rest)
                 delta = sum(jnp.sum(l.astype(jnp.float32))
                             for l in jax.tree.leaves(out))
-                return x + delta.astype(x.dtype) * 1e-20, None
+                return x + (delta * 1e-20).astype(x.dtype), None
             x, _ = jax.lax.scan(body, first, None, length=n)
             return x
         return loop
@@ -74,11 +74,15 @@ def main():
 
     M = args.m
     key = jax.random.PRNGKey(0)
-    # (label, K, N, count in one 696M velocity forward)
+    # (label, K, N, count in one 696M velocity forward). The spatial model
+    # runs a JOINT block (M = 16 frames x 266 joint tokens) AND a per-pixel
+    # temporal SPATIAL block (M = 256 sites x 16 frames = 4096) per layer
+    # (models/dit.py::VelocityDiTImgSpatial.run_layer), so each of the 12
+    # layers contributes 2x the usual qkv/out + ffn set at M ~ 4.2k.
     shapes = [
-        ("qkv/out 1024x1024", 1024, 1024, 4 * 12),
-        ("ffn    1024x4096", 1024, 4096, 12),
-        ("ffn    4096x1024", 4096, 1024, 12),
+        ("qkv/out 1024x1024", 1024, 1024, 4 * 12 * 2),
+        ("ffn    1024x4096", 1024, 4096, 12 * 2),
+        ("ffn    4096x1024", 4096, 1024, 12 * 2),
         ("anchor 4096x4096", 4096, 4096, 0),
     ]
 
@@ -122,6 +126,35 @@ def main():
         tot_bf += b
         tot_q += q
         tot_pass += ps
+
+    # Would int8 QK^T / PV inside the attention pay? Measure the joint
+    # block's actual attention matmul geometry (B*H batched, S=266, d=64):
+    # tiny contraction depths keep the MXU pipeline-bound, so int8's 2x
+    # peak cannot express itself — this leg documents that directly.
+    BH, S, D = 16 * 16, 266, 64
+    qa = jax.random.normal(key, (BH, S, D), jnp.bfloat16)
+    ka = jax.random.normal(key, (BH, D, S), jnp.bfloat16)
+    q8 = jnp.zeros((BH, S, D), jnp.int8)
+    k8 = jnp.zeros((BH, D, S), jnp.int8)
+    pa = jax.random.normal(key, (BH, S, S), jnp.bfloat16)
+    va = jax.random.normal(key, (BH, S, D), jnp.bfloat16)
+    p8 = jnp.zeros((BH, S, S), jnp.int8)
+    v8 = jnp.zeros((BH, S, D), jnp.int8)
+
+    def bmm(a, b):
+        return jax.lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=(
+                                       jnp.int32 if a.dtype == jnp.int8
+                                       else jnp.float32))
+
+    for name, a, b, a8, b8 in (("QK^T (266x64x266)", qa, ka, q8, k8),
+                               ("PV   (266x266x64)", pa, va, p8, v8)):
+        t_bf = bench(bmm, (a, b), args.iters)
+        t_i8 = bench(bmm, (a8, b8), args.iters)
+        fl = 2 * BH * S * S * D
+        print(f"attn {name}  bf16 {t_bf*1e6:7.1f} us ({fl/t_bf/1e12:5.1f}"
+              f" TF/s)  int8-pre {t_i8*1e6:7.1f} us ({fl/t_i8/1e12:5.1f}"
+              f" TF/s, {t_bf/t_i8:4.2f}x)")
 
     print(f"\nper-forward quantizable-matmul time: bf16 {tot_bf*1e3:6.2f} ms"
           f" -> int8 {tot_q*1e3:6.2f} ms (of which act-quant pass"

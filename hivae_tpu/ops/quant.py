@@ -7,9 +7,23 @@ int8 x int8 -> int32 at ~2x its bf16 rate (measured on this stack:
 quantization included), so the compute-bound DiT Euler loop gains serving
 throughput for free in quality terms. Measured end-to-end on the flagship
 696M AMD_N (real chip, ``benchmarks/bench_quant.py``): 1.15x on the DiT
-velocity forward and on the full 10-step Euler sampler (45.8 vs 39.9 f/s)
-— the gap to the raw 1.8x matmul rate is the unquantized share (attention
-itself, norms, AdaLN modulation) plus the per-token activation-quant pass.
+velocity forward and on the full 10-step Euler sampler (45.8 vs 39.9 f/s).
+
+The gap to the raw 1.8x matmul anchor is MEASURED, not asserted
+(``benchmarks/bench_quant_breakdown.py``, real chip, round 4): (1) at the
+model's actual serving shapes (M ~ 4.2k tokens, K = 1024) the int8 MXU
+delivers only 1.24-1.60x with dynamic act quant (1.71-1.75x with
+pre-quantized activations) — the 1.8x anchor needs a 4096-deep
+contraction; (2) the per-token act-quant pass costs ~2.3 ms of the
+34.3 ms int8 forward and is itself HBM-roofline-bound as a separate pass
+(~660 GB/s on the FFN-down input), so only in-kernel fusion could recover
+it (~1.24x ceiling); (3) int8 inside attention is COUNTERPRODUCTIVE at
+this geometry — QK^T (266x64x266) measures 0.44x and PV 0.83x vs bf16,
+because tiny contraction depths leave the MXU pipeline-bound where int8's
+2x peak cannot express itself; (4) the absolute Amdahl cap with
+zero-cost quantized matmuls is 1.56x (the 25.3 ms unquantized floor is
+attention + norms + AdaLN + layout transposes). 1.15x is therefore within
+~7% of the realistic ceiling for this model geometry.
 
 Scheme (the standard w8a8 recipe for DiT-family models):
 
