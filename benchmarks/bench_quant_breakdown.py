@@ -77,12 +77,14 @@ def main():
     # (label, K, N, count in one 696M velocity forward). The spatial model
     # runs a JOINT block (M = 16 frames x 266 joint tokens) AND a per-pixel
     # temporal SPATIAL block (M = 256 sites x 16 frames = 4096) per layer
-    # (models/dit.py::VelocityDiTImgSpatial.run_layer), so each of the 12
-    # layers contributes 2x the usual qkv/out + ffn set at M ~ 4.2k.
+    # (models/dit.py::VelocityDiTImgSpatial.run_layer), so each of the
+    # flagship's 16 layers (amd.py: diffusion_num_layers=16) contributes
+    # 2x the usual qkv/out + ffn set at M ~ 4.2k.
+    L = 16
     shapes = [
-        ("qkv/out 1024x1024", 1024, 1024, 4 * 12 * 2),
-        ("ffn    1024x4096", 1024, 4096, 12 * 2),
-        ("ffn    4096x1024", 4096, 1024, 12 * 2),
+        ("qkv/out 1024x1024", 1024, 1024, 4 * L * 2),
+        ("ffn    1024x4096", 1024, 4096, L * 2),
+        ("ffn    4096x1024", 4096, 1024, L * 2),
         ("anchor 4096x4096", 4096, 4096, 0),
     ]
 

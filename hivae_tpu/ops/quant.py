@@ -4,7 +4,7 @@ No reference counterpart — the reference serves eager fp16 torch
 (``model/pipeline.py``); this is a TPU-native capability. The v5e MXU runs
 int8 x int8 -> int32 at ~2x its bf16 rate (measured on this stack:
 338.7 vs 189.1 TFLOP/s effective on a 4096^3 matmul, dynamic activation
-quantization included), so the compute-bound DiT Euler loop gains serving
+quantization included), so the matmul-heavy DiT Euler loop gains serving
 throughput for free in quality terms. Measured end-to-end on the flagship
 696M AMD_N (real chip, ``benchmarks/bench_quant.py``): 1.15x on the DiT
 velocity forward and on the full 10-step Euler sampler (45.8 vs 39.9 f/s).
@@ -14,16 +14,16 @@ The gap to the raw 1.8x matmul anchor is MEASURED, not asserted
 model's actual serving shapes (M ~ 4.2k tokens, K = 1024) the int8 MXU
 delivers only 1.24-1.60x with dynamic act quant (1.71-1.75x with
 pre-quantized activations) — the 1.8x anchor needs a 4096-deep
-contraction; (2) the per-token act-quant pass costs ~2.3 ms of the
+contraction; (2) the per-token act-quant pass costs ~3.0 ms of the
 34.3 ms int8 forward and is itself HBM-roofline-bound as a separate pass
 (~660 GB/s on the FFN-down input), so only in-kernel fusion could recover
-it (~1.24x ceiling); (3) int8 inside attention is COUNTERPRODUCTIVE at
+it (~1.26x ceiling); (3) int8 inside attention is COUNTERPRODUCTIVE at
 this geometry — QK^T (266x64x266) measures 0.44x and PV 0.83x vs bf16,
 because tiny contraction depths leave the MXU pipeline-bound where int8's
 2x peak cannot express itself; (4) the absolute Amdahl cap with
-zero-cost quantized matmuls is 1.56x (the 25.3 ms unquantized floor is
-attention + norms + AdaLN + layout transposes). 1.15x is therefore within
-~7% of the realistic ceiling for this model geometry.
+zero-cost quantized matmuls is ~1.9x (the ~20.5 ms unquantized floor is
+attention + norms + AdaLN + layout transposes + embeds/head). 1.15x is
+therefore within ~9% of the realistic ceiling for this model geometry.
 
 Scheme (the standard w8a8 recipe for DiT-family models):
 
