@@ -124,6 +124,9 @@ def sdpa(
                                          batch_axis=_RING_BATCH_AXIS,
                                          key_mask=key_mask)
         _warn_ring_fallback(q.shape, k.shape)
+    g = _pack_group(q.shape, k.shape)
+    if g > 1:
+        return _sdpa_xla_packed(q, k, v, scale, key_mask, g)
     return _sdpa_xla(q, k, v, scale, key_mask)
 
 
@@ -189,6 +192,66 @@ def install_attn_impl(model_cfg, mesh=None) -> None:
     set_ring_context(mesh, _RING_AXIS,
                      batch_axis="data" if dp > 1 else None)
     set_default_implementation("ring")
+
+
+# Head-packed small-S attention (the tiny-sequence / huge-batch regime).
+# The per-pixel temporal blocks run attention at S = frames (16) with
+# B*H = sites*heads = 4096: a batched matmul of 4096 tiny (16,64)@(64,16)
+# instances, each padded to MXU tiles — measured ~12 ms of the flagship's
+# 39.4 ms velocity forward (benchmarks/bench_fwd_breakdown.py), an
+# effective ~0.4 TFLOP/s. The fix packs G heads' sequences into one
+# (G*S, D) block and runs ONE MXU-shaped matmul per group with a
+# block-diagonal mask (-3e30 off-block), so off-block softmax mass is
+# exactly zero and PV with the packed V reproduces each head's own
+# attention bit-for-bit up to fp summation order. Pure XLA ops: autodiff
+# gives the backward the same packed (efficient) shapes for free.
+_PACK_MAX_LOGITS = 64 * 64  # pack only tiny-logit heads (S up to ~64)
+_PACK_LEN = 128             # target packed sequence: one full MXU tile
+_PACK_MIN_BH = 64           # below this the unpacked path is fine anyway
+_BLOCK_NEG = -3e30          # strictly below the -1e30 key-mask value so a
+#                             fully-masked row degenerates to a uniform over
+#                             its OWN block, exactly like _sdpa_xla
+
+
+def _pack_group(q_shape, k_shape) -> int:
+    """Largest power-of-two group size G (heads per packed block), or 1
+    when packing does not apply."""
+    b, h, sq, _ = q_shape
+    sk = k_shape[2]
+    bh = b * h
+    if sq * sk > _PACK_MAX_LOGITS or bh < _PACK_MIN_BH:
+        return 1
+    cap = _PACK_LEN // max(sq, sk)
+    g = 1
+    while g * 2 <= cap and bh % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+@functools.partial(jax.jit, static_argnums=(3, 5), inline=True)
+def _sdpa_xla_packed(q, k, v, scale, key_mask, g):
+    out_dtype = q.dtype
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    nb = b * h // g
+    qp = q.reshape(nb, g * sq, d)
+    kp = k.reshape(nb, g * sk, d)
+    vp = v.reshape(nb, g * sk, d)
+    logits = jnp.einsum("bnd,bmd->bnm", qp, kp,
+                        preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        km = jnp.broadcast_to(key_mask[:, None, :], (b, h, sk))
+        km = km.reshape(nb, g * sk)
+        # replace (not add), matching _sdpa_xla's masked value exactly
+        logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e30))
+    row = jnp.arange(g * sq) // sq
+    col = jnp.arange(g * sk) // sk
+    block = jnp.where(row[:, None] == col[None, :], jnp.float32(0),
+                      jnp.float32(_BLOCK_NEG))
+    probs = jax.nn.softmax(logits + block, axis=-1)
+    out = jnp.einsum("bnm,bmd->bnd", probs.astype(q.dtype), vp,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, h, sq, d).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(3,), inline=True)
