@@ -115,6 +115,11 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--matmul-ms", type=float, default=19.07,
+                   help="dense-matmul share of the forward in ms, from "
+                        "bench_quant_breakdown.py's reconstruction — pass "
+                        "the re-measured value if that bench is re-run "
+                        "(only used at the default batch/frames)")
     args = p.parse_args()
 
     from hivae_tpu.models import amd
@@ -182,16 +187,15 @@ def main():
         rows[name] = dt
         print(f"{name:24s} {dt*1e3:8.2f} ms")
 
-    def vel_forced(impl, min_s=32):
-        """Force ``impl`` for blocks with S > min_s (the joint blocks);
-        tiny-S blocks keep the normal dispatch (forcing the Pallas kernel
-        there would pad 16 -> 128 per side, a 64x FLOP waste)."""
+    def vel_forced(impl, when):
+        """Force ``impl`` at the call sites ``when(q)`` selects; the rest
+        keep the normal dispatch."""
         def fn(*a):
             from hivae_tpu.ops import attention as attn_ops
             orig = attn_ops.sdpa
 
             def forced(q, k, v, **kw):
-                if q.shape[2] > min_s:
+                if when(q):
                     kw["implementation"] = impl
                 return orig(q, k, v, **kw)
 
@@ -202,13 +206,22 @@ def main():
                 attn_ops.sdpa = orig
         return fn
 
+    joint = lambda q: q.shape[2] > 32   # joint blocks (S~266/514)
+    small = lambda q: q.shape[2] <= 32  # per-pixel temporal blocks (S=t)
+
     row("full", velocity, vel_args)
     # the settlement table's crossover was measured STANDALONE, where XLA
     # flash-fuses the whole softmax; inside the full program its fusion
     # degrades (the no_attn_joint_S ablation found ~10 ms of joint-block
     # attention vs the standalone 92 us x 16 = 1.5 ms). The Pallas kernel's
     # cost is fusion-context-independent — this row decides the predicate.
-    row("full (attn=pallas)", vel_forced("pallas"), vel_args)
+    # (Forcing pallas at tiny-S would pad 16 -> 128 per side, a 64x FLOP
+    # waste, so only the joint blocks are forced.)
+    row("full (attn=pallas)", vel_forced("pallas", joint), vel_args)
+    # packed-off baseline: explicit 'xla' is the literal naive path (it
+    # never head-packs), so this row minus "full" is the head-packing win
+    # on the small-S temporal blocks.
+    row("full (small-S unpacked)", vel_forced("xla", small), vel_args)
     row("no_attn_core", vel_no_attn, vel_args)
     row("no_attn_small_S", vel_no_attn_small, vel_args)
     row("no_attn_joint_S", vel_no_attn_joint, vel_args)
@@ -239,7 +252,8 @@ def main():
     attn_joint = full - rows["no_attn_joint_S"]
     norms = full - rows["no_norms"]
     both = full - rows["no_both"]
-    matmul = 19.07e-3 if (args.batch, args.frames) == (1, 16) else None
+    matmul = (args.matmul_ms * 1e-3
+              if (args.batch, args.frames) == (1, 16) else None)
     print()
     print(f"attention core (QK^T+softmax+PV): {attn*1e3:7.2f} ms")
     print(f"  of which small-S temporal (S<=32): {attn_small*1e3:7.2f} ms")

@@ -107,13 +107,36 @@ class TestPackedParity:
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        rtol=5e-6, atol=5e-6)
 
-    def test_sdpa_dispatches_packed(self):
-        """The public entry must route tiny-S/large-BH shapes through the
-        packed path (same values; the predicate is what's under test)."""
+    def test_sdpa_auto_routes_packed(self, monkeypatch):
+        """'auto' must actually ROUTE tiny-S/large-BH shapes through
+        _sdpa_xla_packed — asserted by instrumenting the callee, not by
+        re-testing the predicate (ADVICE r4: value-equality can't detect a
+        dispatch regression)."""
         b, h, s, d = 64, 8, 16, 32
         q, k, v = _qkv(jax.random.PRNGKey(6), b, h, s, d)
+        called = []
+        orig = A._sdpa_xla_packed
+        monkeypatch.setattr(
+            A, "_sdpa_xla_packed",
+            lambda *a, **kw: called.append(True) or orig(*a, **kw))
+        out = A.sdpa(q, k, v, implementation="auto")
+        assert called, "auto did not dispatch to the packed path"
+        ref = A._sdpa_xla(q, k, v, d ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+
+    def test_sdpa_explicit_xla_stays_naive(self, monkeypatch):
+        """Explicit implementation='xla' must NOT head-pack — kernel A/B
+        benches rely on 'xla' meaning the literal einsum+softmax path
+        (round-4 VERDICT weak #3)."""
+        b, h, s, d = 64, 8, 16, 32
+        q, k, v = _qkv(jax.random.PRNGKey(7), b, h, s, d)
+        assert A._pack_group(q.shape, k.shape) > 1  # shape WOULD pack
+        monkeypatch.setattr(
+            A, "_sdpa_xla_packed",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("explicit xla routed through packed path")))
         out = A.sdpa(q, k, v, implementation="xla")
         ref = A._sdpa_xla(q, k, v, d ** -0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-6, atol=2e-6)
-        assert A._pack_group(q.shape, k.shape) > 1  # predicate fired
