@@ -122,8 +122,9 @@ class AMDConfig:
     # stack DiT layers with nn.scan (faster compiles; stacked param layout)
     scan_layers: bool = False
     # attention implementation: 'auto' | 'xla' | 'pallas' | 'ring'. 'auto'
-    # picks per-op by measured crossover (XLA <=512 tokens, Pallas fused
-    # kernel above). 'ring' shards every attention's sequence dim over the
+    # picks per-op by the measured in-program crossover (XLA <=256 tokens
+    # w/ head-packing at tiny S, Pallas fused kernel above — see
+    # ops/attention.py). 'ring' shards every attention's sequence dim over the
     # mesh 'tensor' axis (parallel/ring_attention.py; SURVEY §5.7) so long
     # windows scale past one chip's HBM; non-divisible sequences fall back
     # to XLA per-op

@@ -4,8 +4,11 @@ The reference runs all attention through diffusers ``Attention`` (torch SDPA,
 cuDNN). Here the core op is a single function over (B, H, S, D) arrays so the
 model layer stays independent of the kernel choice:
 
-  * ``auto`` (default): XLA below the measured ~512-token crossover, the
-    fused Pallas kernel above it (see benchmarks/RESULTS.md). In the
+  * ``auto`` (default): XLA below the measured in-program ~256-token
+    crossover, the fused Pallas kernel above it (see
+    benchmarks/RESULTS.md — the standalone crossover is ~512 tokens, but
+    XLA's flash-fusion degrades ~7x inside large programs while the
+    Pallas kernel's cost is context-independent). In the
     tiny-S/large-B*H regime (per-pixel temporal blocks: S=frames,
     B*H in the thousands) ``auto`` additionally head-packs G sequences
     into one MXU-tile-sized block behind a block-diagonal mask
@@ -34,11 +37,20 @@ import jax.numpy as jnp
 
 _DEFAULT_IMPL = "auto"
 
-# measured crossover on v5e (benchmarks/RESULTS.md): XLA's fused softmax
-# wins up to ~512 tokens; past that its S*S logits spill to HBM and the
-# Pallas full-block kernel wins ~3x fwd / ~2x grad at 1024. 'auto' switches
-# on the logits footprint (sq*sk).
-_PALLAS_MIN_LOGITS = 512 * 512
+# measured crossover on v5e (benchmarks/RESULTS.md). STANDALONE, XLA's
+# fused softmax wins up to ~512 tokens (fwd 1.9x at S=260/BH=256); past
+# that its S*S logits spill to HBM and the Pallas full-block kernel wins
+# ~3x fwd / ~2x grad at 1024. IN-PROGRAM the crossover moves left: inside
+# the 696M velocity forward XLA's flash-fusion degrades ~7x (635 us/layer
+# vs 92 us standalone at the flagship's S=260 joint blocks) while the
+# Pallas kernel's cost is fusion-context-independent — forcing Pallas on
+# the joint blocks measured a 4.05 ms (10.6%) whole-forward win
+# (bench_fwd_breakdown.py, round 5). Production sdpa calls are always
+# in-program, so 'auto' dispatches on the in-program crossover: Pallas
+# above 256^2 logits, XLA (head-packed at tiny S) below — the regime
+# where no in-program degradation was measured (small-S ablation 1.49 ms,
+# within 0.1 ms of the standalone prediction).
+_PALLAS_MIN_LOGITS = 256 * 256
 
 # ambient mesh context for the 'ring' implementation (sequence-sharded
 # attention, SURVEY §5.7): set once by the trainer/CLI, read by every sdpa

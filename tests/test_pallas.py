@@ -199,6 +199,26 @@ class TestAutoDispatch:
         A.sdpa(long_, long_, long_, implementation="auto")
         assert calls and calls[0][2] == 768  # above -> Pallas
 
+    def test_in_program_crossover_boundary(self, monkeypatch):
+        """The 'auto' threshold is the IN-PROGRAM crossover (256^2 logits,
+        bench_fwd_breakdown round 5): the flagship's S=260 joint blocks
+        must dispatch Pallas; S=256 and below stays XLA."""
+        calls = []
+        import hivae_tpu.ops.pallas.flash_attention as FA
+
+        real = FA.flash_attention
+        monkeypatch.setattr(
+            FA, "flash_attention",
+            lambda q, k, v, **kw: calls.append(q.shape) or real(q, k, v, **kw))
+
+        at256 = jax.random.normal(KEY, (1, 2, 256, 32))
+        A.sdpa(at256, at256, at256, implementation="auto")
+        assert calls == []
+
+        joint = jax.random.normal(KEY, (1, 2, 260, 32))
+        A.sdpa(joint, joint, joint, implementation="auto")
+        assert calls and calls[0][2] == 260
+
     def test_auto_falls_back_when_unsupported(self, monkeypatch):
         import hivae_tpu.ops.pallas.flash_attention as FA
 
