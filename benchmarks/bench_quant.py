@@ -143,12 +143,23 @@ def main():
                                object_source=s, object_target=o,
                                method="velocity")
 
+    def vel_q_unfused(img, ts, c, s, o):
+        # per-Dense int8 chain (separate act-quant pass between FFN
+        # matmuls) — the A/B for the Pallas fused up+gelu+requant epilogue
+        with quant.quantized_calls(table, fuse_ffn=False):
+            return model.apply(params, img, ts, camera_target=c,
+                               object_source=s, object_target=o,
+                               method="velocity")
+
     a = (img, tstep, cam_t, obj_s, obj_t)
     t_bf = bench(vel, a, args.iters)
     print(f"DiT velocity fwd  bf16: {t_bf*1e3:8.2f} ms")
+    t_qu = bench(vel_q_unfused, a, args.iters)
+    print(f"DiT velocity fwd  int8 (unfused ffn): {t_qu*1e3:8.2f} ms   "
+          f"speedup {t_bf/t_qu:.2f}x")
     t_q = bench(vel_q, a, args.iters)
     print(f"DiT velocity fwd  int8: {t_q*1e3:8.2f} ms   "
-          f"speedup {t_bf/t_q:.2f}x")
+          f"speedup {t_bf/t_q:.2f}x   (ffn-fusion win {t_qu/t_q:.2f}x)")
 
     def sampler(video, ref, quant_table):
         _, out, _ = amd.sample(model, params, jax.random.PRNGKey(1), video,

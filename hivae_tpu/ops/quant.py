@@ -78,8 +78,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_params", "quantized_calls", "maybe_quantized",
-           "quant_dense", "quant_conv", "strip_quantized",
-           "unstack_scanned", "default_predicate"]
+           "quant_dense", "quant_conv", "quant_act", "fused_quant_ffn",
+           "strip_quantized", "unstack_scanned", "default_predicate"]
 
 # Dense names never quantized regardless of size: AdaLN modulation
 # ("linear"), timestep-embedding MLP ("linear_1/2").
@@ -175,6 +175,15 @@ def quantize_params(params, predicate: Optional[Callable] = None,
     return table
 
 
+def quant_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token symmetric dynamic int8: (..., K) -> ((..., K) int8,
+    (..., 1) fp32 scales)."""
+    xf = jnp.asarray(x, jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
 def quant_dense(x: jax.Array, w8: jax.Array, scale: jax.Array,
                 bias: Optional[jax.Array] = None,
                 out_dtype=None) -> jax.Array:
@@ -184,10 +193,8 @@ def quant_dense(x: jax.Array, w8: jax.Array, scale: jax.Array,
     fp32 per-output-channel weight scale. Activations are quantized
     per-token (symmetric, dynamic).
     """
-    xf = jnp.asarray(x, jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(xq, w8, (((xf.ndim - 1,), (0,)), ((), ())),
+    xq, sx = quant_act(x)
+    y = jax.lax.dot_general(xq, w8, (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * (sx * scale)
     if bias is not None:
@@ -195,7 +202,40 @@ def quant_dense(x: jax.Array, w8: jax.Array, scale: jax.Array,
     return y.astype(out_dtype if out_dtype is not None else x.dtype)
 
 
-def maybe_quantized(quant_table: Optional[Dict[str, Dict]]):
+def fused_quant_ffn(x: jax.Array, up: Dict, down: Dict,
+                    out_dtype=None) -> jax.Array:
+    """The whole int8 FFN (up -> tanh-gelu -> down) with the intermediate
+    activation quantized in the up-matmul's Pallas epilogue
+    (``ops/pallas/quant_ffn.py``) — the (M, inner) gelu output never
+    round-trips HBM in bf16, recovering the measured ~3 ms/forward
+    act-quant pass (benchmarks/RESULTS.md, int8 gap breakdown concl. 3).
+
+    ``up``/``down`` are quant-table entries ({"w8", "scale"[, "bias"]}).
+    Numerics: identical quantization grid to the unfused chain except the
+    gelu input/output stay fp32 in VMEM (the unfused chain rounds the
+    matmul output to the compute dtype before gelu) — strictly tighter.
+    """
+    from .pallas.quant_ffn import fused_ffn_up_quant
+
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1])
+    xq, sx = quant_act(xf)
+    n = up["w8"].shape[1]
+    b_up = up.get("bias")
+    b_up = (jnp.zeros((n,), jnp.float32) if b_up is None
+            else jnp.asarray(b_up, jnp.float32))
+    yq, sy = fused_ffn_up_quant(xq, sx, up["w8"], up["scale"], b_up)
+    y = jax.lax.dot_general(yq, down["w8"], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sy * down["scale"])
+    if "bias" in down:
+        y = y + down["bias"].astype(jnp.float32)
+    out = y.astype(out_dtype if out_dtype is not None else x.dtype)
+    return out.reshape(lead + (down["w8"].shape[1],))
+
+
+def maybe_quantized(quant_table: Optional[Dict[str, Dict]],
+                    fuse_ffn: bool = True):
     """``quantized_calls(table)`` when a table is given, else a null
     context — lets call sites keep ONE code path:
 
@@ -203,7 +243,7 @@ def maybe_quantized(quant_table: Optional[Dict[str, Dict]]):
             return integrate(...)
     """
     if quant_table:
-        return quantized_calls(quant_table)
+        return quantized_calls(quant_table, fuse_ffn=fuse_ffn)
     return contextlib.nullcontext()
 
 
@@ -257,15 +297,37 @@ def _canon_conv(m: nn.Conv, x: jax.Array):
     return strides, padding
 
 
-def quantized_calls(quant_table: Dict[str, Dict]):
+def quantized_calls(quant_table: Dict[str, Dict], fuse_ffn: bool = True):
     """Context manager: inside, any ``nn.Dense`` / ``nn.Conv`` whose module
     path is in ``quant_table`` runs the int8 kernel instead of its bf16
     matmul/conv. Active at trace time — wrap the ``model.apply`` (or the
-    jitted region) whose layers should quantize."""
+    jitted region) whose layers should quantize.
+
+    When BOTH Dense layers of a ``models.blocks.FeedForward`` are in the
+    table and the geometry is lane-aligned, the whole FFN runs
+    :func:`fused_quant_ffn` (the Pallas up+gelu+requantize epilogue) —
+    ``fuse_ffn=False`` keeps the per-Dense path for A/B benches."""
+    # lazy: models imports ops, so ops cannot import models at module scope
+    from ..models.blocks import FeedForward
 
     def interceptor(next_fn, args, kwargs, context):
         m = context.module
         if context.method_name == "__call__":
+            if fuse_ffn and isinstance(m, FeedForward):
+                up = quant_table.get("/".join(m.path + ("net_0",)))
+                down = quant_table.get("/".join(m.path + ("net_2",)))
+                if up is not None and down is not None:
+                    from .pallas.quant_ffn import supports
+
+                    x = args[0]
+                    rows = 1
+                    for s in x.shape[:-1]:
+                        rows *= s
+                    k, n = up["w8"].shape
+                    if supports(rows, k, n):
+                        return fused_quant_ffn(
+                            x, up, down, out_dtype=m.dtype or x.dtype)
+                    # unsupported geometry: per-Dense interception below
             if isinstance(m, nn.Dense):
                 entry = quant_table.get("/".join(m.path))
                 if entry is not None:

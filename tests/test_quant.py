@@ -276,6 +276,123 @@ class TestQuantConv:
                 m.apply(params, x)
 
 
+class TestFusedQuantFFN:
+    """Pallas fused FFN-up + gelu + requantize epilogue
+    (``ops/pallas/quant_ffn.py``) vs the unfused per-Dense int8 chain."""
+
+    DIM, INNER = 128, 512  # lane-aligned (the kernel's supports() gate)
+
+    def _entries(self, key, use_bias=True):
+        k1, k2, k3 = jax.random.split(key, 3)
+        w_up = jax.random.normal(k1, (self.DIM, self.INNER)) / np.sqrt(
+            self.DIM)
+        w_dn = jax.random.normal(k2, (self.INNER, self.DIM)) / np.sqrt(
+            self.INNER)
+        up8, sup = quant._quantize_kernel(w_up)
+        dn8, sdn = quant._quantize_kernel(w_dn)
+        up = {"w8": up8, "scale": sup}
+        down = {"w8": dn8, "scale": sdn}
+        if use_bias:
+            up["bias"] = jax.random.normal(k3, (self.INNER,)) * 0.1
+            down["bias"] = jnp.full((self.DIM,), 0.05)
+        return (w_up, w_dn), (up, down)
+
+    def _unfused(self, x, up, down):
+        h = quant.quant_dense(x, up["w8"], up["scale"], up.get("bias"),
+                              out_dtype=jnp.float32)
+        h = jax.nn.gelu(h, approximate=True)
+        return quant.quant_dense(h, down["w8"], down["scale"],
+                                 down.get("bias"), out_dtype=x.dtype)
+
+    @pytest.mark.parametrize("rows", [64, 70])  # 70: exercises M padding
+    def test_matches_unfused_chain(self, rows):
+        (w_up, w_dn), (up, down) = self._entries(KEY)
+        x = jax.random.normal(jax.random.PRNGKey(9), (rows, self.DIM))
+        fused = quant.fused_quant_ffn(x, up, down)
+        unfused = self._unfused(x, up, down)
+        fp = jax.nn.gelu(x @ w_up + up["bias"], approximate=True) @ w_dn \
+            + down["bias"]
+        # both are the same grid; fused keeps gelu fp32 in VMEM (strictly
+        # tighter), so compare each against the fp reference
+        for y in (fused, unfused):
+            rel = float(jnp.linalg.norm(y - fp) / jnp.linalg.norm(fp))
+            assert rel < 0.03, rel
+        rel = float(jnp.linalg.norm(fused - unfused)
+                    / jnp.linalg.norm(unfused))
+        assert rel < 0.01, rel
+
+    def test_no_bias_and_batched_lead_dims(self):
+        _, (up, down) = self._entries(KEY, use_bias=False)
+        x = jax.random.normal(KEY, (2, 3, 32, self.DIM), jnp.bfloat16)
+        y = quant.fused_quant_ffn(x, up, down)
+        assert y.shape == x.shape and y.dtype == jnp.bfloat16
+        ref = self._unfused(x.reshape(-1, self.DIM), up, down)
+        rel = float(jnp.linalg.norm(
+            y.reshape(-1, self.DIM).astype(jnp.float32)
+            - ref.astype(jnp.float32)) / jnp.linalg.norm(
+                ref.astype(jnp.float32)))
+        assert rel < 0.02, rel
+
+    def test_supports_gate(self):
+        from hivae_tpu.ops.pallas import quant_ffn as qf
+
+        assert qf.supports(4096, 1024, 4096)   # the flagship FFN-up
+        assert not qf.supports(64, 96, 512)    # K not lane-aligned
+        assert not qf.supports(64, 128, 200)   # N not lane-aligned
+
+    def test_interceptor_routes_ffn(self, monkeypatch):
+        """quantized_calls must ROUTE an aligned FeedForward through the
+        fused path (instrumented callee, the ADVICE-r4 dispatch pattern),
+        and fuse_ffn=False must keep the per-Dense chain."""
+        from hivae_tpu.models.blocks import FeedForward
+
+        m = FeedForward(self.DIM, inner_dim=self.INNER)
+        x = jax.random.normal(KEY, (4, 8, self.DIM))
+        params = m.init(KEY, x)
+        table = quant.quantize_params(
+            params, predicate=lambda p, k: True, scope=None)
+        assert set(table) == {"net_0", "net_2"}
+        fp = m.apply(params, x)
+
+        called = []
+        orig = quant.fused_quant_ffn
+        monkeypatch.setattr(
+            quant, "fused_quant_ffn",
+            lambda *a, **kw: called.append(True) or orig(*a, **kw))
+        with quant.quantized_calls(table):
+            fused = m.apply(params, x)
+        assert called, "aligned FFN did not dispatch to the fused path"
+        called.clear()
+        with quant.quantized_calls(table, fuse_ffn=False):
+            unfused = m.apply(params, x)
+        assert not called
+        rel = float(jnp.linalg.norm(fused - fp) / jnp.linalg.norm(fp))
+        assert rel < 0.03, rel
+        rel = float(jnp.linalg.norm(fused - unfused)
+                    / jnp.linalg.norm(unfused))
+        assert 0 <= rel < 0.01, rel
+
+    def test_interceptor_skips_unaligned_ffn(self, monkeypatch):
+        """dim=96 (not lane-aligned): the FFN must fall through to the
+        per-Dense int8 path, never the Pallas kernel."""
+        from hivae_tpu.models.blocks import FeedForward
+
+        m = FeedForward(96, inner_dim=384)
+        x = jax.random.normal(KEY, (4, 96))
+        params = m.init(KEY, x)
+        table = quant.quantize_params(
+            params, predicate=lambda p, k: True, scope=None)
+        monkeypatch.setattr(
+            quant, "fused_quant_ffn",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("unaligned FFN routed to the fused kernel")))
+        fp = m.apply(params, x)
+        with quant.quantized_calls(table):
+            q = m.apply(params, x)
+        rel = float(jnp.linalg.norm(q - fp) / jnp.linalg.norm(fp))
+        assert 0 < rel < 0.05, rel
+
+
 class TestA2MQuant:
     def test_a2m_sample_close_to_fp(self):
         """The A2M motion sampler's Euler loop quantizes via quant_table=
