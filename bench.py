@@ -171,7 +171,86 @@ def main():
         import sys
         print(f"int8 supplementary measurement failed: {e!r}",
               file=sys.stderr)
+
+    # Supplementary 2 (round 5): the flagship 696M DiT 10-step Euler
+    # sampler, bf16 and int8 — the serving numbers the round-5 predicate +
+    # fused-FFN work moved (RESULTS.md "Round-5 re-baseline"). Same
+    # differenced-scan method and model construction as
+    # benchmarks/bench_quant.py --part dit, so the programs hit the
+    # persistent compile cache. Guarded like the int8 leg: the headline
+    # must survive any failure here.
+    try:
+        record.update(_dit_sampler_supplementary())
+    except Exception as e:  # noqa: BLE001 — supplementary only
+        import sys
+        print(f"dit sampler supplementary measurement failed: {e!r}",
+              file=sys.stderr)
     print(json.dumps(record))
+
+
+def _dit_sampler_supplementary(frames=16, sample_step=10):
+    from hivae_tpu.models import amd
+    from hivae_tpu.ops import quant
+
+    def bench(fn, args, iters):
+        def make_loop(n):
+            @jax.jit
+            def loop(first, *rest):
+                def body(x, _):
+                    out = fn(x, *rest)
+                    leaf = jax.tree.leaves(out)[0]
+                    delta = jnp.sum(leaf.astype(jnp.float32)).astype(x.dtype)
+                    return x + delta * 1e-20, None
+                x, _ = jax.lax.scan(body, first, None, length=n)
+                return x
+
+            return loop
+
+        def sync(x):
+            return float(jnp.sum(jnp.ravel(x)[:4].astype(jnp.float32)))
+
+        def timed(loop):
+            sync(loop(*args))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(loop(*args))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = timed(make_loop(iters))
+        t2 = timed(make_loop(5 * iters))
+        return (t2 - t1) / (4 * iters)
+
+    model = amd.AMD_N(dtype=jnp.bfloat16, use_filter=True, use_grey=True,
+                      video_frames=frames, camera_motion_token_num=frames,
+                      camera_motion_token_channel=16,
+                      object_motion_token_num=4,
+                      object_motion_token_channel=512,
+                      motion_token_num=4, motion_token_channel=512,
+                      diffusion_model_type="spatial")
+    key = jax.random.PRNGKey(0)
+    shape = (1, frames, 4, 32, 32)
+    video = jax.random.normal(key, shape)
+    ref = jnp.broadcast_to(video[:, :1], shape)
+    shapes = jax.eval_shape(lambda: model.init(
+        {"params": key, "noise": key}, video, ref, video, ref))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    table = jax.jit(quant.quantize_params)(params)
+
+    def sampler(video, ref, quant_table):
+        _, out, _ = amd.sample(model, params, jax.random.PRNGKey(1), video,
+                               ref, video_grey=video, ref_img_grey=ref,
+                               sample_step=sample_step,
+                               quant_table=quant_table)
+        return out
+
+    t_bf = bench(lambda v, r: sampler(v, r, None), (video, ref), 2)
+    t_q = bench(lambda v, r: sampler(v, r, table), (video, ref), 2)
+    return {
+        "dit_sampler_bf16_fps": round(frames / t_bf, 2),
+        "dit_sampler_int8_fps": round(frames / t_q, 2),
+    }
 
 
 if __name__ == "__main__":
