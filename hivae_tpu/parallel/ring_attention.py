@@ -45,8 +45,11 @@ from ..ops.pallas import flash_attention as fa
 NEG_INF = -1e30
 
 # local tokens past which the per-hop streaming flash kernel beats the
-# einsum hop (same boundary as ops.attention's full-block -> streaming
-# dispatch; below it XLA keeps the block logits in VMEM through fusion)
+# einsum hop. Measured AT this boundary on the chip (bench_ring.py,
+# RESULTS.md ring table round-5 rows): flash wins 4.2x fwd / 2.0x grad at
+# exactly 1024 local tokens and the gap holds through 8192; below 1024 the
+# hop body is single-digit microseconds (unmeasurable through the relay
+# and not a regime ring sharding is used for).
 _FLASH_MIN_LOCAL = 1024
 
 
