@@ -14,8 +14,11 @@ by ablation inside the REAL 696M program (same differenced-scan method as
   bench_quant.py documents). Difference = QK^T + softmax + PV.
 * ``no_norms``      — every ``nn.LayerNorm`` intercepted to identity
   (flax ``intercept_methods``, the quant-interceptor pattern): covers the
-  AdaLN inner norms, FFN norms AND the per-head qk norms. Difference =
-  LayerNorm reduce+normalize traffic.
+  AdaLN inner norms and FFN norms. Difference = LayerNorm reduce+normalize
+  traffic. NOTE (round 5): the per-head qk norms moved inside
+  ``ops.attention.sdpa`` (qk_norm= param), so they are NO LONGER ablated by
+  this row — the sdpa stub rows ablate them together with the attention
+  core instead.
 * ``no_both``       — both ablations (checks additivity / fusion overlap).
 * ``transpose_tax`` — the per-layer joint->spatial->joint relayout pair
   ((n,t,s,h) -> (n*s,t,h) -> back) at flagship shape, standalone x16
@@ -83,6 +86,54 @@ def identity_norms():
         return next_fn(*args, **kwargs)
 
     return nn.intercept_methods(interceptor)
+
+
+def identity_adaln():
+    """Context: every AdaLN module (Zero/Single/Triple/AdaLayerNorm) returns
+    its inputs unmodulated with all-ones gates — ablates the mod-producing
+    Dense+silu, the shared LayerNorm AND the modulate/gate elementwise, so
+    full − no_adaln is the whole AdaLN apparatus in-program. (The per-layer
+    mod Denses are M=batch·frames matmuls — 16 rows at the flagship — which
+    the 19.07 ms dense-matmul share does NOT include.)"""
+    import flax.linen as nn
+    from hivae_tpu.models import blocks as B
+
+    def ones_gate(x):
+        return jnp.ones((x.shape[0], 1, x.shape[-1]), x.dtype)
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if context.method_name == "__call__":
+            if type(m) is B.AdaLNZero:
+                hidden, encoder = args[0], args[1]
+                return hidden, encoder, ones_gate(hidden), ones_gate(encoder)
+            if type(m) is B.AdaLNZeroSingle:
+                return args[0], ones_gate(args[0])
+            if type(m) is B.AdaLNZeroTriple:
+                h, c1, c2 = args[0], args[1], args[2]
+                return (h, c1, c2, ones_gate(h), ones_gate(c1),
+                        ones_gate(c2))
+            if type(m) is B.AdaLayerNorm:
+                return args[0]
+        return next_fn(*args, **kwargs)
+
+    return nn.intercept_methods(interceptor)
+
+
+class patched_modulate:
+    """Context: blocks.modulate -> identity (drops the (1+scale)*x+shift
+    elementwise epilogues; the mod Dense, LayerNorm and gates stay live)."""
+
+    def __enter__(self):
+        from hivae_tpu.models import blocks as B
+        self._orig = B.modulate
+        B.modulate = lambda x, scale, shift: x
+        return self
+
+    def __exit__(self, *exc):
+        from hivae_tpu.models import blocks as B
+        B.modulate = self._orig
+        return False
 
 
 class patched_sdpa:
@@ -228,6 +279,20 @@ def main():
     row("no_norms", vel_no_norms, vel_args)
     row("no_both", vel_no_both, vel_args)
 
+    def vel_no_modulate(*a):
+        with patched_modulate():
+            return velocity(*a)
+
+    def vel_no_adaln(*a):
+        with identity_adaln():
+            return velocity(*a)
+
+    # round-5 residual split: the AdaLN apparatus (per-layer M=16 mod
+    # Denses + shared LN + modulate/gate elementwise) vs just the
+    # modulate elementwise
+    row("no_modulate", vel_no_modulate, vel_args)
+    row("no_adaln", vel_no_adaln, vel_args)
+
     # layout tax: the spatial block's joint->temporal->joint relayout pair,
     # standalone, x num_layers (16 at the flagship)
     hidden, s = 1024, 256
@@ -261,6 +326,10 @@ def main():
     print(f"LayerNorms (incl. qk norms):      {norms*1e3:7.2f} ms")
     print(f"both-ablation (additivity check): {both*1e3:7.2f} ms "
           f"vs sum {100*(attn+norms)/max(both,1e-12):.0f}%")
+    mod = full - rows["no_modulate"]
+    adaln = full - rows["no_adaln"]
+    print(f"modulate elementwise:             {mod*1e3:7.2f} ms")
+    print(f"AdaLN apparatus (dense+LN+mod+gates): {adaln*1e3:7.2f} ms")
     if matmul is not None:
         resid = full - attn - norms - matmul
         print(f"dense matmuls (bench_quant_breakdown): {matmul*1e3:7.2f} ms")

@@ -40,13 +40,33 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+class _QKNormParams(nn.Module):
+    """Parameter container with exactly ``nn.LayerNorm``'s tree
+    ({scale, bias}, fp32, ones/zeros init) so checkpoints and the torch
+    converter are unchanged; the norm itself is applied inside
+    ``ops.attention.sdpa`` — fused into the Pallas full-block kernel on
+    that dispatch path, XLA reference math elsewhere."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention matching diffusers ``Attention`` semantics.
 
     ``qk_norm`` applies per-head LayerNorm (eps 1e-6) to q and k after the
     head split — the reference enables this on all self-attention blocks
     (``modules.py:699-707``) and disables it on the A2M cross-attentions.
-    Output dim always equals ``dim`` (the query dim).
+    The norm is delegated to ``ops.attention.sdpa`` (fused into the Pallas
+    kernel where that path dispatches). Output dim always equals ``dim``
+    (the query dim).
     """
 
     dim: int
@@ -68,12 +88,15 @@ class Attention(nn.Module):
         q = _split_heads(dense("to_q")(x), self.heads)
         k = _split_heads(dense("to_k")(ctx), self.heads)
         v = _split_heads(dense("to_v")(ctx), self.heads)
+        qk_params = None
         if self.qk_norm:
-            # norms run fp32 (AMP semantics); cast back so the attention
-            # matmuls stay in the compute dtype (bf16 on the MXU)
-            q = nn.LayerNorm(epsilon=self.eps, name="norm_q")(q).astype(self.dtype)
-            k = nn.LayerNorm(epsilon=self.eps, name="norm_k")(k).astype(self.dtype)
-        out = attn_ops.sdpa(q, k, v, key_mask=key_mask)
+            # norms run fp32 (AMP semantics) and cast back to the compute
+            # dtype; applied inside sdpa so the Pallas path fuses them
+            gq, bq = _QKNormParams(self.head_dim, name="norm_q")()
+            gk, bk = _QKNormParams(self.head_dim, name="norm_k")()
+            qk_params = (gq, bq, gk, bk)
+        out = attn_ops.sdpa(q, k, v, key_mask=key_mask, qk_norm=qk_params,
+                            qk_norm_eps=self.eps)
         out = _merge_heads(out)
         return nn.Dense(self.dim, use_bias=self.out_bias, name="to_out",
                         dtype=self.dtype)(out)
@@ -140,6 +163,15 @@ class PatchEmbed(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+def modulate(x: jax.Array, scale: jax.Array, shift: jax.Array) -> jax.Array:
+    """AdaLN modulation epilogue ``x * (1 + scale) + shift``.
+
+    A named function (rather than inline arithmetic) so the forward-breakdown
+    ablation bench can intercept it and measure the elementwise modulation
+    cost in-program (benchmarks/bench_fwd_breakdown.py)."""
+    return x * (1.0 + scale) + shift
+
+
 # AdaLN variants
 # ---------------------------------------------------------------------------
 
@@ -158,8 +190,8 @@ class AdaLNZero(nn.Module):
                         dtype=self.dtype)(nn.silu(temb))
         shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(mods, 6, axis=-1)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
-        hidden = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
-        encoder = norm(encoder) * (1 + e_scale[:, None]) + e_shift[:, None]
+        hidden = modulate(norm(hidden), scale[:, None], shift[:, None])
+        encoder = modulate(norm(encoder), e_scale[:, None], e_shift[:, None])
         return hidden, encoder, gate[:, None], e_gate[:, None]
 
 
@@ -176,7 +208,7 @@ class AdaLNZeroSingle(nn.Module):
                         dtype=self.dtype)(nn.silu(temb))
         shift, scale, gate = jnp.split(mods, 3, axis=-1)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
-        hidden = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
+        hidden = modulate(norm(hidden), scale[:, None], shift[:, None])
         return hidden, gate[:, None]
 
 
@@ -194,9 +226,9 @@ class AdaLNZeroTriple(nn.Module):
         (shift, scale, gate, c1_shift, c1_scale, c1_gate,
          c2_shift, c2_scale, c2_gate) = jnp.split(mods, 9, axis=-1)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
-        hidden = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
-        cond1 = norm(cond1) * (1 + c1_scale[:, None]) + c1_shift[:, None]
-        cond2 = norm(cond2) * (1 + c2_scale[:, None]) + c2_shift[:, None]
+        hidden = modulate(norm(hidden), scale[:, None], shift[:, None])
+        cond1 = modulate(norm(cond1), c1_scale[:, None], c1_shift[:, None])
+        cond2 = modulate(norm(cond2), c2_scale[:, None], c2_shift[:, None])
         return hidden, cond1, cond2, gate[:, None], c1_gate[:, None], c2_gate[:, None]
 
 
@@ -214,7 +246,7 @@ class AdaLayerNorm(nn.Module):
                         dtype=self.dtype)(nn.silu(temb))
         shift, scale = jnp.split(mods, 2, axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return x * (1 + scale[:, None]) + shift[:, None]
+        return modulate(x, scale[:, None], shift[:, None])
 
 
 # ---------------------------------------------------------------------------

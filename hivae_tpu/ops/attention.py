@@ -52,6 +52,16 @@ _DEFAULT_IMPL = "auto"
 # within 0.1 ms of the standalone prediction).
 _PALLAS_MIN_LOGITS = 256 * 256
 
+# When True, sdpa folds the per-head qk LayerNorm into the Pallas full-block
+# kernel; False (default) applies the identical norm via XLA outside the
+# kernel. MEASURED DEAD-END at the flagship (RESULTS.md round 5): the fused
+# kernel is 0.55 ms/forward SLOWER (34.89 vs 34.33 ms A/B in one session) —
+# the full-block kernel is exp-roofline-bound, so the in-kernel LN adds
+# serial VPU work, while XLA already fuses the separate LN passes into the
+# surrounding layout/copy graph at no marginal cost. Kept as a tested,
+# switchable path because the tradeoff is geometry-dependent in principle.
+_QKNORM_FUSE = False
+
 # ambient mesh context for the 'ring' implementation (sequence-sharded
 # attention, SURVEY §5.7): set once by the trainer/CLI, read by every sdpa
 _RING_MESH = None
@@ -110,6 +120,8 @@ def sdpa(
     scale: Optional[float] = None,
     key_mask: Optional[jax.Array] = None,  # (B, Sk) bool: True = attend
     implementation: Optional[str] = None,
+    qk_norm: Optional[tuple] = None,  # (gamma_q, beta_q, gamma_k, beta_k)
+    qk_norm_eps: float = 1e-6,
 ) -> jax.Array:
     """Scaled dot-product attention, fp32 accumulation.
 
@@ -117,6 +129,13 @@ def sdpa(
     jitter: dropped tokens stay in the sequence at static shape but are
     invisible as keys, which is numerically identical to gathering them
     out). The model family is otherwise fully bidirectional.
+
+    ``qk_norm``: optional per-head LayerNorm params, each (D,) — q/k arrive
+    RAW and the norm is applied inside sdpa: FUSED into the Pallas
+    full-block kernel when that path dispatches (killing the separate LN
+    passes + fp32 HBM round trips — 3.4 ms of the flagship forward), via
+    the shared XLA reference (`flash_attention.qk_layernorm`, identical
+    flax fast-variance math) on every other path.
     """
     impl = implementation or _DEFAULT_IMPL
     # head-packing is exclusive to 'auto': explicit 'xla' (and explicit
@@ -130,14 +149,31 @@ def sdpa(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "pallas":
-        from .pallas.flash_attention import flash_attention, supports
+        from .pallas.flash_attention import (flash_attention, qk_layernorm,
+                                             supports)
 
         if supports(q.shape, k.shape):
             bias = None
             if key_mask is not None:
                 bias = jnp.where(key_mask, 0.0,
                                  _MASK_NEG).astype(jnp.float32)
-            return flash_attention(q, k, v, scale=scale, bias=bias)
+            if qk_norm is not None and not _QKNORM_FUSE:
+                # A/B escape hatch: norm via XLA outside the kernel
+                gq, bq, gk, bk = qk_norm
+                q = qk_layernorm(q, gq, bq, qk_norm_eps)
+                k = qk_layernorm(k, gk, bk, qk_norm_eps)
+                qk_norm = None
+            return flash_attention(q, k, v, scale=scale, bias=bias,
+                                   qk_norm=qk_norm,
+                                   qk_norm_eps=qk_norm_eps)
+    if qk_norm is not None:
+        # non-fused paths (xla / packed / ring / pallas-unsupported): apply
+        # the norm via the kernel module's XLA reference — one truth source
+        from .pallas.flash_attention import qk_layernorm
+
+        gq, bq, gk, bk = qk_norm
+        q = qk_layernorm(q, gq, bq, qk_norm_eps)
+        k = qk_layernorm(k, gk, bk, qk_norm_eps)
     if impl == "ring":
         if _ring_applicable(q.shape, k.shape):
             from ..parallel.ring_attention import sequence_sharded_sdpa

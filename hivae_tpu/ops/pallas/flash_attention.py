@@ -59,6 +59,13 @@ MIN_ALIGN = 8
 SEQ_ALIGN = 16      # sublane tile for bf16; also a multiple of the fp32 tile
 NEG_INF = -1e30
 
+# Full-block schedule tuning knobs (module-level so bench_fullblock_tune.py
+# can sweep them on the chip; defaults are the measured winners — see
+# benchmarks/RESULTS.md "Full-block kernel tuning").
+_FB_FWD_BUDGET = 6 * 2**20   # VMEM budget for _pick_hb, forward
+_FB_BWD_BUDGET = 10 * 2**20  # VMEM budget for _pick_hb, backward
+_FB_LANE_ALIGN = SEQ_ALIGN   # key-axis (lane) padding multiple
+
 
 def _full_block_fits(q_shape, k_shape) -> bool:
     """True when even the hb=1 (single-head) full-block schedule fits VMEM —
@@ -113,6 +120,48 @@ def _pick_hb(h: int, sq: int, sk: int, d: int, itemsize: int,
         if ss + ops <= budget:
             return hb
     return 1
+
+
+def _ln_block(x, g_ref, b_ref, eps):
+    """Per-head LayerNorm over the head dim of an (HB, S, D) block, fp32,
+    mirroring ``flax.linen.LayerNorm`` with ``use_fast_variance`` bit-for-bit
+    (mean2 - mean^2; mul = rsqrt(var+eps) * scale; y = (x-mean)*mul + bias).
+    Returns the block cast back to the input dtype — the same rounding the
+    unfused path applies before the QK^T matmul."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    mul = jax.lax.rsqrt(var + eps) * g_ref[0][None, None]
+    y = (xf - mean) * mul + b_ref[0][None, None]
+    return y.astype(x.dtype)
+
+
+def _fwd_kernel_qknorm(q_ref, k_ref, v_ref, bias_ref, gq_ref, bq_ref,
+                       gk_ref, bk_ref, o_ref, *, scale, sk_real, eps):
+    """Full-block forward with the per-head qk LayerNorm fused in: q/k arrive
+    RAW (pre-norm) and are normalized in VMEM, killing the two separate
+    LN passes (+ their fp32 HBM round trips) the unfused path pays per
+    attention — measured 3.4 ms of the 34.3 ms flagship forward
+    (benchmarks/RESULTS.md round-5 trace table)."""
+    q = _ln_block(q_ref[0], gq_ref, bq_ref, eps)
+    k = _ln_block(k_ref[0], gk_ref, bk_ref, eps)
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias_ref[0][None]  # (1,1,Sk) bcast
+    skp = logits.shape[-1]
+    if skp != sk_real:  # static: mask the padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, skp), 2)
+        logits = jnp.where(col >= sk_real, NEG_INF, logits)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk_real):
@@ -192,7 +241,7 @@ def _specs(b, h, hb, sqp, skp, d):
 def _prep(q, k, v, bias):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    sqp, skp = _round_up(sq, SEQ_ALIGN), _round_up(sk, SEQ_ALIGN)
+    sqp, skp = _round_up(sq, SEQ_ALIGN), _round_up(sk, _FB_LANE_ALIGN)
     qp = _pad_seq(q, sqp)
     kp = _pad_seq(k, skp)
     vp = _pad_seq(v, skp)
@@ -214,7 +263,7 @@ def _flash_fwd_impl(q, k, v, bias, scale):
     sk = k.shape[2]
     qp, kp, vp, bp, sqp, skp = _prep(q, k, v, bias)
     hb = _pick_hb(h, sqp, skp, d, q.dtype.itemsize,
-                  n_ss_bufs=2, budget=6 * 2**20)
+                  n_ss_bufs=2, budget=_FB_FWD_BUDGET)
     qs, ks, bs = _specs(b, h, hb, sqp, skp, d)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, sk_real=sk),
@@ -243,7 +292,7 @@ def _flash_bwd(scale, res, g):
     qp, kp, vp, bp, sqp, skp = _prep(q, k, v, bias)
     gp = _pad_seq(g, sqp)
     hb = _pick_hb(h, sqp, skp, d, q.dtype.itemsize,
-                  n_ss_bufs=3, budget=10 * 2**20)
+                  n_ss_bufs=3, budget=_FB_BWD_BUDGET)
     qs, ks, bs = _specs(b, h, hb, sqp, skp, d)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, sk_real=sk),
@@ -269,6 +318,75 @@ def _flash_bwd(scale, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def qk_layernorm(x, g, b, eps):
+    """XLA reference of the kernel's fused per-head LayerNorm (identical op
+    order to ``flax.linen.LayerNorm`` with fast variance: mul = rsqrt(var +
+    eps) * scale; y = (x - mean) * mul + bias; fp32 stats, output cast back
+    to the input dtype). Used by the non-full-block fallbacks, by
+    ``ops.attention`` for the XLA/packed/ring paths, and by the fused
+    path's backward recompute — one truth source for the norm math."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    mul = jax.lax.rsqrt(var + eps) * g
+    return ((xf - mean) * mul + b).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _flash_qknorm(q, k, v, bias, gq, bq, gk, bk, scale, eps):
+    return _flash_qknorm_fwd_impl(q, k, v, bias, gq, bq, gk, bk, scale, eps)
+
+
+def _flash_qknorm_fwd_impl(q, k, v, bias, gq, bq, gk, bk, scale, eps):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qp, kp, vp, bp, sqp, skp = _prep(q, k, v, bias)
+    hb = _pick_hb(h, sqp, skp, d, q.dtype.itemsize,
+                  n_ss_bufs=2, budget=_FB_FWD_BUDGET)
+    qs, ks, bs = _specs(b, h, hb, sqp, skp, d)
+    ps = pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    norms = [p.astype(jnp.float32).reshape(1, d) for p in (gq, bq, gk, bk)]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_qknorm, scale=scale, sk_real=sk,
+                          eps=eps),
+        grid=(b, h // hb),
+        in_specs=[qs, ks, ks, bs, ps, ps, ps, ps],
+        out_specs=qs,
+        out_shape=jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sqp * skp * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skp,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, bp, *norms)
+    return out[:, :, :sq]
+
+
+def _flash_qknorm_vjp_fwd(q, k, v, bias, gq, bq, gk, bk, scale, eps):
+    out = _flash_qknorm_fwd_impl(q, k, v, bias, gq, bq, gk, bk, scale, eps)
+    return out, (q, k, v, bias, gq, bq, gk, bk)
+
+
+def _flash_qknorm_vjp_bwd(scale, eps, res, g):
+    """Backward = VJP of the unfused reference composition (XLA LN feeding
+    the existing full-block custom-VJP kernel). The fused kernel buys the
+    *primal* forward; the backward recompute is exactly the math the
+    unfused path would run, so training numerics are unchanged."""
+    q, k, v, bias, gq, bq, gk, bk = res
+
+    def ref(q, k, v, bias, gq, bq, gk, bk):
+        return _flash(qk_layernorm(q, gq, bq, eps),
+                      qk_layernorm(k, gk, bk, eps), v, bias, scale)
+
+    _, vjp = jax.vjp(ref, q, k, v, bias, gq, bq, gk, bk)
+    return vjp(g)
+
+
+_flash_qknorm.defvjp(_flash_qknorm_vjp_fwd, _flash_qknorm_vjp_bwd)
 
 
 # -----------------------------------------------------------------------------
@@ -639,7 +757,9 @@ def stream_fwd_lse(q, k, v, bias, scale):
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float,
-                    bias: jax.Array | None = None) -> jax.Array:
+                    bias: jax.Array | None = None,
+                    qk_norm: tuple | None = None,
+                    qk_norm_eps: float = 1e-6) -> jax.Array:
     """Fused SDPA. q,k,v: (B, H, S, D); bias: optional (B, Sk) fp32 additive
     **key-mask** bias (0 attend / -1e30 drop) -> (B, H, Sq, D).
 
@@ -647,11 +767,26 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     a zero cotangent for it (a learned additive bias would silently get no
     gradient — pass such a bias through the XLA path instead).
 
+    ``qk_norm``: optional (gamma_q, beta_q, gamma_k, beta_k), each (D,) — q/k
+    then arrive RAW and the per-head LayerNorm (flax fast-variance semantics,
+    fp32 stats, eps ``qk_norm_eps``) is fused into the full-block kernel,
+    eliminating the separate LN passes and their HBM round trips (3.4 ms of
+    the flagship forward, RESULTS.md round 5). The norm params DO get
+    gradients (backward recomputes the unfused composition). The streaming
+    schedule normalizes via XLA first — same math, unfused.
+
     Dispatch: full-block fused kernel while the (Sq, Sk) logits fit VMEM
     (<=1024 tokens), streaming online-softmax schedule beyond.
     """
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    if qk_norm is not None:
+        gq, bq, gk, bk = qk_norm
+        if _full_block_fits(q.shape, k.shape):
+            return _flash_qknorm(q, k, v, bias, gq, bq, gk, bk, scale,
+                                 qk_norm_eps)
+        q = qk_layernorm(q, gq, bq, qk_norm_eps)
+        k = qk_layernorm(k, gk, bk, qk_norm_eps)
     if _full_block_fits(q.shape, k.shape):
         return _flash(q, k, v, bias, scale)
     return _flash_stream(q, k, v, bias, scale)
