@@ -351,3 +351,33 @@ class TestModelRingIntegration:
                                 sample_step=2)
         np.testing.assert_allclose(np.asarray(zt_r), np.asarray(zt_x),
                                    rtol=5e-3, atol=5e-4)
+
+
+class TestRingQKNorm:
+    """Round 5: sdpa's qk_norm param must compose with the ring dispatch —
+    the norm is applied BEFORE sequence sharding (it is per-token/per-head,
+    so it commutes with the split) and must match the XLA reference."""
+
+    def test_ring_applies_qk_norm(self):
+        mesh = create_mesh((1, 1, 8))
+        b, h, s, d = 2, 4, 64, 32
+        ks = jax.random.split(jax.random.PRNGKey(3), 7)
+        q = jax.random.normal(ks[0], (b, h, s, d))
+        k = jax.random.normal(ks[1], (b, h, s, d))
+        v = jax.random.normal(ks[2], (b, h, s, d))
+        params = (jax.random.normal(ks[3], (d,)) * 0.1 + 1.0,
+                  jax.random.normal(ks[4], (d,)) * 0.1,
+                  jax.random.normal(ks[5], (d,)) * 0.1 + 1.0,
+                  jax.random.normal(ks[6], (d,)) * 0.1)
+        from hivae_tpu.ops.pallas.flash_attention import qk_layernorm
+        gq, bq, gk, bk = params
+        ref = A.sdpa(qk_layernorm(q, gq, bq, 1e-6),
+                     qk_layernorm(k, gk, bk, 1e-6), v,
+                     implementation="xla")
+        A.set_ring_context(mesh, "tensor")
+        try:
+            out = A.sdpa(q, k, v, implementation="ring", qk_norm=params)
+        finally:
+            A.set_ring_context(None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
