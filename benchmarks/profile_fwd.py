@@ -104,7 +104,10 @@ def aggregate(trace_dir, top):
         totals = collections.Counter()
         counts = collections.Counter()
         for line in plane.lines:
-            if "XLA Op" not in line.name and "Ops" not in line.name:
+            # ONLY the synchronous op line: "Async XLA Ops" durations span
+            # their overlap with compute — summing them double-counts
+            # (measured 3x inflation on the flagship forward)
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, "?")

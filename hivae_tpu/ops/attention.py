@@ -184,6 +184,13 @@ def sdpa(
                                          key_mask=key_mask)
         _warn_ring_fallback(q.shape, k.shape)
     if may_pack:
+        # HEAD packing, not the (tempting) native-layout batch packing:
+        # _sdpa_xla_packed_batch wins 1.6x in a standalone qkv->attn->out
+        # mini-block but LOSES 1.5 ms/fwd inside the full flagship program
+        # (same-process A/B 35.78 vs 34.28 ms, RESULTS.md round 5) — XLA
+        # already folds the head-split transposes into the surrounding
+        # program there, while the native-layout einsum forces its own
+        # copies. Kept implemented+tested for direct use; not dispatched.
         g = _pack_group(q.shape, k.shape)
         if g > 1:
             return _sdpa_xla_packed(q, k, v, scale, key_mask, g)
@@ -291,6 +298,57 @@ def _pack_group(q_shape, k_shape) -> int:
     while g * 2 <= cap and bh % (g * 2) == 0:
         g *= 2
     return g
+
+
+def _pack_batch_group(q_shape, k_shape) -> int:
+    """Group size for BATCH packing (preferred over head packing): G batch
+    elements' sequences share one MXU-tile-sized block in the native
+    (B, S, H, D) layout. Requires G | B; returns 1 when inapplicable."""
+    b, h, sq, _ = q_shape
+    sk = k_shape[2]
+    if sq * sk > _PACK_MAX_LOGITS or b * h < _PACK_MIN_BH:
+        return 1
+    cap = _PACK_LEN // max(sq, sk)
+    g = 1
+    while g * 2 <= cap and b % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+@functools.partial(jax.jit, static_argnums=(3, 5), inline=True)
+def _sdpa_xla_packed_batch(q, k, v, scale, key_mask, g):
+    """Batch-packed small-S attention in the NATIVE (B, S, H, D) layout.
+
+    Packs G batch elements' sequences (not heads) into one MXU-tile block.
+    The layout round trips below cancel against the caller's _split_heads /
+    _merge_heads transposes in XLA's algebraic simplifier, so the packed
+    matmuls read the qkv projections' output layout and write the out
+    projection's input layout with ZERO copies — measured 1.6x vs head
+    packing inside a realistic qkv->attn->out mini-block (428 -> 266 us at
+    the flagship spatial shape B=256,S=16,H=16,D=64; RESULTS.md round 5),
+    because head packing forces three (B,S,H,D)->(B,H,S,D) copies that
+    XLA cannot fuse through the pack reshape."""
+    out_dtype = q.dtype
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qn = q.transpose(0, 2, 1, 3).reshape(b // g, g * sq, h, d)
+    kn = k.transpose(0, 2, 1, 3).reshape(b // g, g * sk, h, d)
+    vn = v.transpose(0, 2, 1, 3).reshape(b // g, g * sk, h, d)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qn, kn,
+                        preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        km = key_mask.reshape(b // g, g * sk)
+        # replace (not add), matching _sdpa_xla's masked value exactly
+        logits = jnp.where(km[:, None, None, :], logits,
+                           jnp.float32(_MASK_NEG))
+    row = jnp.arange(g * sq) // sq
+    col = jnp.arange(g * sk) // sk
+    block = jnp.where(row[:, None] == col[None, :], jnp.float32(0),
+                      jnp.float32(_BLOCK_NEG))
+    probs = jax.nn.softmax(logits + block, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(q.dtype), vn,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, h, d).transpose(0, 2, 1, 3).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 5), inline=True)
